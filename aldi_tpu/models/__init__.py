@@ -1,0 +1,21 @@
+"""Model registry and builder.
+
+Replaces the substrate META_ARCH_REGISTRY + the reference's dynamic mixin
+composer ``build_aldi`` (``aldi/model.py:12-31``). Mixin composition is not
+needed in the functional design: align/distill behavior is config-driven
+inside the detector's forward functions, keyed by the same YAML names
+(DOMAIN_ADAPT.ALIGN.MIXIN_NAME etc. are accepted and validated for config
+compatibility).
+"""
+
+from ..utils.registry import Registry
+from .rcnn import RCNN, RCNNDetector, grad_reverse  # noqa: F401
+
+META_ARCH_REGISTRY = Registry("META_ARCH")
+META_ARCH_REGISTRY.register(RCNNDetector, name="GeneralizedRCNN")
+
+
+def build_detector(cfg):
+    """cfg -> detector orchestrator (the reference's ``build_aldi``)."""
+    name = cfg.MODEL.META_ARCHITECTURE
+    return META_ARCH_REGISTRY.get(name)(cfg)

@@ -1,0 +1,419 @@
+"""GeneralizedRCNN meta-architecture: Flax module + functional orchestrator.
+
+Replaces the substrate ``GeneralizedRCNN`` that the reference composes its DA
+mixins onto (``aldi/model.py:12-31``, ``aldi/align.py:17-101``). Where the
+reference reaches into the module with forward hooks (``SaveIO``) and
+pre-forward proposal swaps (``ReplaceProposalsOnce``), this design returns
+every intermediate the DAOD engine needs as an explicit ``aux`` pytree and
+accepts teacher-side proposal overrides as a plain argument.
+
+The nn.Module holds parameters only; proposal generation, sampling, losses,
+and inference are pure functions (rpn.py / roi_heads.py) driven by
+``RCNNDetector``, which owns all static/config state (anchors for the fixed
+canvas, thresholds, top-k sizes).
+"""
+
+import math
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import compute_dtype, resolve_canvas
+from ..ops.anchors import AnchorGenerator
+from ..ops.losses import bce_with_logits
+from .fpn import FPN
+from .resnet import ResNet
+from .roi_heads import (
+    FastRCNNConvFCHead,
+    FastRCNNOutputLayers,
+    box_pooler,
+    fast_rcnn_inference,
+    fast_rcnn_losses,
+    sample_proposals,
+)
+from .rpn import StandardRPNHead, generate_proposals, rpn_losses
+
+
+@jax.custom_vjp
+def grad_reverse(x):
+    """Gradient reversal layer (GRL), weight -1 — reference
+    ``aldi/helpers.py:51-63``."""
+    return x
+
+
+def _gr_fwd(x):
+    return x, None
+
+
+def _gr_bwd(_, g):
+    return (jax.tree_util.tree_map(lambda t: -t, g),)
+
+
+grad_reverse.defvjp(_gr_fwd, _gr_bwd)
+
+
+class ConvDiscriminator(nn.Module):
+    """conv3x3 -> relu (xN) -> global avg pool -> linear(1); reference
+    ``aldi/align.py:103-119``."""
+
+    hidden_dims: Sequence[int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, C]
+        for i, d in enumerate(self.hidden_dims):
+            x = nn.Conv(d, (3, 3), padding="VALID", dtype=self.dtype,
+                        name=f"conv{i}")(x)
+            x = nn.relu(x)
+        x = x.mean(axis=(1, 2))
+        return nn.Dense(1, dtype=self.dtype, name="linear")(x)  # [B, 1]
+
+
+class FCDiscriminator(nn.Module):
+    """flatten -> (linear -> relu)xN -> linear(1); reference
+    ``aldi/align.py:121-136``."""
+
+    hidden_dims: Sequence[int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [..., D]
+        x = x.reshape(x.shape[0], -1) if x.ndim > 2 else x
+        for i, d in enumerate(self.hidden_dims):
+            x = nn.Dense(d, dtype=self.dtype, name=f"linear{i}")(x)
+            x = nn.relu(x)
+        return nn.Dense(1, dtype=self.dtype, name="linear_out")(x)
+
+
+class RCNN(nn.Module):
+    """Parameter container with per-stage apply methods."""
+
+    num_classes: int
+    num_cell_anchors: int
+    depth: int = 50
+    freeze_at: int = 2
+    fpn_out_channels: int = 256
+    num_fc: int = 2
+    fc_dim: int = 1024
+    num_conv: int = 0
+    img_da_enabled: bool = False
+    img_da_hidden_dims: Sequence[int] = (256,)
+    ins_da_enabled: bool = False
+    ins_da_hidden_dims: Sequence[int] = (1024,)
+    pooler_resolution: int = 7
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.bottom_up = ResNet(
+            depth=self.depth, freeze_at=self.freeze_at, dtype=self.dtype,
+            name="backbone",
+        )
+        self.fpn = FPN(out_channels=self.fpn_out_channels, dtype=self.dtype)
+        self.rpn_head = StandardRPNHead(
+            num_anchors=self.num_cell_anchors, conv_dim=self.fpn_out_channels,
+            dtype=self.dtype,
+        )
+        self.box_head = FastRCNNConvFCHead(
+            num_fc=self.num_fc, fc_dim=self.fc_dim, num_conv=self.num_conv,
+            dtype=self.dtype,
+        )
+        self.box_predictor = FastRCNNOutputLayers(
+            num_classes=self.num_classes, dtype=self.dtype
+        )
+        if self.img_da_enabled:
+            self.img_align = ConvDiscriminator(
+                hidden_dims=self.img_da_hidden_dims, dtype=self.dtype
+            )
+        if self.ins_da_enabled:
+            self.ins_align = FCDiscriminator(
+                hidden_dims=self.ins_da_hidden_dims, dtype=self.dtype
+            )
+
+    def backbone_fwd(self, images):
+        """images (normalized, NHWC) -> ordered FPN feature list p2..p6."""
+        feats = self.fpn(self.bottom_up(images))
+        return [feats[k] for k in sorted(feats.keys())]
+
+    def rpn_fwd(self, features):
+        return self.rpn_head(features)
+
+    def box_fwd(self, pooled):
+        """pooled [B, S, r, r, C] -> (cls_logits [B,S,K+1], deltas [B,S,K*4],
+        box_features [B,S,fc_dim])."""
+        b, s = pooled.shape[:2]
+        x = self.box_head(pooled.reshape((b * s,) + pooled.shape[2:]))
+        cls, reg = self.box_predictor(x)
+        return (
+            cls.reshape(b, s, -1),
+            reg.reshape(b, s, -1),
+            x.reshape(b, s, -1),
+        )
+
+    def img_align_fwd(self, feat):
+        return self.img_align(feat)
+
+    def ins_align_fwd(self, box_features):
+        b, s = box_features.shape[:2]
+        out = self.ins_align(box_features.reshape(b * s, -1))
+        return out.reshape(b, s)
+
+    def __call__(self, images):
+        """Init path: touch every submodule once."""
+        feats = self.backbone_fwd(images)
+        logits, deltas = self.rpn_fwd(feats)
+        b = images.shape[0]
+        dummy = jnp.tile(
+            jnp.asarray([[0.0, 0.0, 32.0, 32.0]], images.dtype), (b, 4, 1)
+        )
+        pooled = box_pooler(
+            feats[:-1], dummy, jnp.ones((b, 4), bool),
+            self.pyramid_strides()[:-1], self.pooler_resolution,
+        )
+        cls, reg, boxf = self.box_fwd(pooled)
+        extras = []
+        if self.img_da_enabled:
+            extras.append(self.img_align_fwd(feats[0]))
+        if self.ins_da_enabled:
+            extras.append(self.ins_align_fwd(boxf))
+        return cls, reg
+
+    @staticmethod
+    def pyramid_strides():
+        return [4, 8, 16, 32, 64]
+
+
+class RCNNDetector:
+    """Static config + pure-function orchestration around the RCNN module.
+
+    The reference equivalent is the glue inside GeneralizedRCNN.forward plus
+    the trainer's hook machinery; here every step is an explicit function of
+    (variables, batch, rng).
+    """
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.dtype = compute_dtype(cfg)
+        self.canvas = resolve_canvas(cfg)
+        self.num_classes = cfg.MODEL.ROI_HEADS.NUM_CLASSES
+        self.strides = RCNN.pyramid_strides()
+        self.rpn_strides = self.strides  # RPN runs on p2..p6
+        self.roi_strides = self.strides[:-1]  # ROI pooling on p2..p5
+
+        self.anchor_gen = AnchorGenerator.from_config(cfg, self.rpn_strides)
+        feat_hws = [
+            (math.ceil(self.canvas[0] / s), math.ceil(self.canvas[1] / s))
+            for s in self.rpn_strides
+        ]
+        self.anchors = [jnp.asarray(a) for a in self.anchor_gen(feat_hws)]
+        self.anchors_cat = jnp.concatenate(self.anchors, axis=0)
+
+        self.pixel_mean = jnp.asarray(cfg.MODEL.PIXEL_MEAN, jnp.float32)
+        self.pixel_std = jnp.asarray(cfg.MODEL.PIXEL_STD, jnp.float32)
+
+        self.module = RCNN(
+            num_classes=self.num_classes,
+            num_cell_anchors=self.anchor_gen.num_cell_anchors,
+            depth=cfg.MODEL.RESNETS.DEPTH,
+            freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
+            fpn_out_channels=cfg.MODEL.FPN.OUT_CHANNELS,
+            num_fc=cfg.MODEL.ROI_BOX_HEAD.NUM_FC,
+            fc_dim=cfg.MODEL.ROI_BOX_HEAD.FC_DIM,
+            num_conv=cfg.MODEL.ROI_BOX_HEAD.NUM_CONV,
+            img_da_enabled=cfg.DOMAIN_ADAPT.ALIGN.IMG_DA_ENABLED,
+            img_da_hidden_dims=tuple(cfg.DOMAIN_ADAPT.ALIGN.IMG_DA_HIDDEN_DIMS),
+            ins_da_enabled=cfg.DOMAIN_ADAPT.ALIGN.INS_DA_ENABLED,
+            ins_da_hidden_dims=tuple(cfg.DOMAIN_ADAPT.ALIGN.INS_DA_HIDDEN_DIMS),
+            pooler_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
+            dtype=self.dtype,
+        )
+
+        rpn_cfg = cfg.MODEL.RPN
+        self.rpn_params = dict(
+            batch_size_per_image=rpn_cfg.BATCH_SIZE_PER_IMAGE,
+            positive_fraction=rpn_cfg.POSITIVE_FRACTION,
+            box_reg_weights=tuple(rpn_cfg.BBOX_REG_WEIGHTS),
+            smooth_l1_beta=rpn_cfg.SMOOTH_L1_BETA,
+        )
+        roi_cfg = cfg.MODEL.ROI_HEADS
+        self.roi_sample_params = dict(
+            num_classes=self.num_classes,
+            batch_size_per_image=roi_cfg.BATCH_SIZE_PER_IMAGE,
+            positive_fraction=roi_cfg.POSITIVE_FRACTION,
+            iou_threshold=roi_cfg.IOU_THRESHOLDS[0],
+            append_gt=roi_cfg.PROPOSAL_APPEND_GT,
+        )
+        self.box_reg_weights = tuple(cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS)
+        self.pooler_resolution = cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION
+
+    # ---------------------------------------------------------------- init
+    def init_variables(self, rng, batch_size: int = 1):
+        images = jnp.zeros(
+            (batch_size, self.canvas[0], self.canvas[1], 3), self.dtype
+        )
+        return self.module.init(rng, images)
+
+    # ---------------------------------------------------------- preprocess
+    def preprocess(self, images):
+        """float [B, H, W, 3] in 0..255 (cfg INPUT.FORMAT channel order) ->
+        normalized compute-dtype tensor."""
+        x = (images.astype(jnp.float32) - self.pixel_mean) / self.pixel_std
+        return x.astype(self.dtype)
+
+    # -------------------------------------------------------------- stages
+    def backbone(self, variables, images):
+        return self.module.apply(variables, images, method=RCNN.backbone_fwd)
+
+    def rpn_head(self, variables, features):
+        return self.module.apply(variables, features, method=RCNN.rpn_fwd)
+
+    def proposals(self, logits, deltas, image_sizes, train: bool):
+        c = self.cfg.MODEL.RPN
+        return generate_proposals(
+            logits, deltas, self.anchors, image_sizes,
+            pre_nms_topk=c.PRE_NMS_TOPK_TRAIN if train else c.PRE_NMS_TOPK_TEST,
+            post_nms_topk=(
+                c.POST_NMS_TOPK_TRAIN if train else c.POST_NMS_TOPK_TEST
+            ),
+            nms_thresh=c.NMS_THRESH,
+            min_size=self.cfg.MODEL.PROPOSAL_GENERATOR.MIN_SIZE,
+            box_reg_weights=self.rpn_params["box_reg_weights"],
+        )
+
+    def box_head(self, variables, features, boxes, valid):
+        pooled = box_pooler(
+            features[:-1], boxes, valid, self.roi_strides,
+            self.pooler_resolution,
+        )
+        return self.module.apply(variables, pooled, method=RCNN.box_fwd)
+
+    # ---------------------------------------------------------- train pass
+    def forward_train(
+        self,
+        variables,
+        images,
+        image_sizes,
+        gt,
+        rng,
+        do_align: bool = False,
+        domain_label: float = 1.0,
+        proposals_override: Optional[dict] = None,
+        loss_scale_override: Optional[dict] = None,
+    ):
+        """Full training forward. Returns (losses, aux).
+
+        aux carries everything the DAOD engine needs: raw RPN head outputs
+        (concatenated over levels in anchor order), the sampled ROI set, and
+        box-predictor outputs on it — the reference obtains these via SaveIO
+        hooks (``aldi/distill.py:115-138``).
+
+        ``proposals_override``: a ``sampled`` dict from another model's
+        forward (the teacher-on-student-proposals path,
+        ``aldi/helpers.py:28-42``); skips RPN proposal generation + sampling.
+        """
+        k_rpn, k_roi = jax.random.split(rng)
+        x = self.preprocess(images)
+        feats = self.backbone(variables, x)
+        logits, deltas = self.rpn_head(variables, feats)
+        logits_cat = jnp.concatenate(
+            [l.astype(jnp.float32) for l in logits], axis=1
+        )
+        deltas_cat = jnp.concatenate(
+            [d.astype(jnp.float32) for d in deltas], axis=1
+        )
+
+        losses = {}
+        losses.update(
+            rpn_losses(
+                k_rpn, self.anchors_cat, logits_cat, deltas_cat,
+                gt.boxes, gt.valid, **self.rpn_params,
+            )
+        )
+
+        if proposals_override is None:
+            pboxes, pscores, pvalid = self.proposals(
+                logits, deltas, image_sizes, train=True
+            )
+            sampled = sample_proposals(
+                k_roi, pboxes, pvalid, gt.boxes, gt.classes, gt.valid,
+                **self.roi_sample_params,
+            )
+        else:
+            sampled = proposals_override
+
+        cls_logits, box_deltas, box_feats = self.box_head(
+            variables, feats, sampled["boxes"], sampled["valid"]
+        )
+        losses.update(
+            fast_rcnn_losses(
+                cls_logits, box_deltas, sampled, self.num_classes,
+                self.box_reg_weights,
+                self.cfg.MODEL.ROI_BOX_HEAD.SMOOTH_L1_BETA,
+            )
+        )
+
+        if do_align:
+            losses.update(
+                self._align_losses(variables, feats, box_feats, domain_label)
+            )
+
+        aux = {
+            "rpn_logits": logits_cat,
+            "rpn_deltas": deltas_cat,
+            "sampled": sampled,
+            "roih_cls_logits": cls_logits.astype(jnp.float32),
+            "roih_deltas": box_deltas.astype(jnp.float32),
+        }
+        return losses, aux
+
+    def _align_losses(self, variables, feats, box_feats, domain_label):
+        out = {}
+        cfg_a = self.cfg.DOMAIN_ADAPT.ALIGN
+        layer_idx = {"p2": 0, "p3": 1, "p4": 2, "p5": 3, "p6": 4}[
+            cfg_a.IMG_DA_LAYER
+        ]
+        if cfg_a.IMG_DA_ENABLED:
+            f = grad_reverse(feats[layer_idx])
+            preds = self.module.apply(
+                variables, f, method=RCNN.img_align_fwd
+            ).astype(jnp.float32)
+            tgt = jnp.full_like(preds, domain_label)
+            out["loss_da_img"] = (
+                cfg_a.IMG_DA_WEIGHT * bce_with_logits(preds, tgt).mean()
+            )
+        if cfg_a.INS_DA_ENABLED:
+            f = grad_reverse(box_feats)
+            preds = self.module.apply(
+                variables, f, method=RCNN.ins_align_fwd
+            ).astype(jnp.float32)
+            tgt = jnp.full_like(preds, domain_label)
+            out["loss_da_ins"] = (
+                cfg_a.INS_DA_WEIGHT * bce_with_logits(preds, tgt).mean()
+            )
+        return out
+
+    # ----------------------------------------------------------- inference
+    def forward_inference(self, variables, images, image_sizes):
+        """Detection inference on the canvas (no rescaling to original image
+        space — the reference pseudo-labeler also runs with
+        ``do_postprocess=False``, ``aldi/pseudolabeler.py:21``; the evaluator
+        rescales on host). Returns (boxes, scores, classes, valid)."""
+        x = self.preprocess(images)
+        feats = self.backbone(variables, x)
+        logits, deltas = self.rpn_head(variables, feats)
+        pboxes, _, pvalid = self.proposals(logits, deltas, image_sizes, False)
+        cls_logits, box_deltas, _ = self.box_head(
+            variables, feats, pboxes, pvalid
+        )
+        t = self.cfg.TEST
+        r = self.cfg.MODEL.ROI_HEADS
+        return fast_rcnn_inference(
+            pboxes, pvalid, cls_logits, box_deltas, image_sizes,
+            self.num_classes,
+            score_thresh=r.SCORE_THRESH_TEST,
+            nms_thresh=r.NMS_THRESH_TEST,
+            topk_per_image=t.DETECTIONS_PER_IMAGE,
+            box_reg_weights=self.box_reg_weights,
+        )
