@@ -1,0 +1,242 @@
+"""Host data pipeline: threaded, deterministic, fixed-shape batch producers.
+
+Substrate equivalents: ``build_detection_train_loader`` (infinite shuffled
+sampler + worker processes) and the reference's dual-stream
+``WeakStrongDataloader`` (``aldi/dataloader.py:32-80``). Key differences,
+by design:
+
+- one canvas-shaped uint8 image per record crosses host->device; the strong
+  view is derived on-device, so the reference's per-batch ``copy.deepcopy``
+  of weak variants (``aldi/dataloader.py:64,74``) has no equivalent;
+- batches are deterministic functions of (seed, batch_index): batch k is
+  assembled by whichever thread, from records chosen by a counter-based RNG,
+  so runs are reproducible under any thread timing;
+- everything is already padded/stacked, so the training loop does zero
+  per-record Python work.
+"""
+
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .catalog import DatasetCatalog
+from .coco import filter_empty
+from .transforms import transform_record
+
+
+def get_dataset_records(names, filter_empty_annotations=True) -> List[dict]:
+    records = []
+    for name in names:
+        records.extend(DatasetCatalog.get(name))
+    if filter_empty_annotations:
+        records = filter_empty(records)
+    assert records, f"no records for datasets {names}"
+    return records
+
+
+class StreamLoader:
+    """Infinite loader over one record list. next() -> stacked batch dict."""
+
+    def __init__(
+        self,
+        records: List[dict],
+        batch_size: int,
+        cfg,
+        canvas,
+        is_train: bool = True,
+        seed: int = 0,
+        num_threads: int = 4,
+        prefetch: int = 4,
+    ):
+        self.records = records
+        self.batch_size = batch_size
+        self.canvas = tuple(canvas)
+        self.seed = seed
+        self.is_train = is_train
+        self.tf_params = dict(
+            min_sizes=[int(s) for s in (
+                cfg.INPUT.MIN_SIZE_TRAIN if is_train
+                else (cfg.INPUT.MIN_SIZE_TEST,)
+            )],
+            max_size=int(
+                cfg.INPUT.MAX_SIZE_TRAIN if is_train else cfg.INPUT.MAX_SIZE_TEST
+            ),
+            canvas=self.canvas,
+            flip=cfg.INPUT.RANDOM_FLIP != "none",
+            sampling=cfg.INPUT.MIN_SIZE_TRAIN_SAMPLING,
+            max_gt=cfg.TPU.MAX_GT,
+            bgr=cfg.INPUT.FORMAT.upper() == "BGR",
+            is_train=is_train,
+        )
+        self._pool = ThreadPoolExecutor(max_workers=num_threads)
+        self._next_submit = 0
+        self._futures = {}
+        self._prefetch = prefetch
+        self._next_read = 0
+        self._lock = threading.Lock()
+
+    def _indices_for_batch(self, batch_idx: int) -> np.ndarray:
+        """Deterministic infinite shuffled sampler: epoch e is a permutation
+        seeded by (seed, e)."""
+        n = len(self.records)
+        start = batch_idx * self.batch_size
+        out = []
+        while len(out) < self.batch_size:
+            epoch, offset = divmod(start + len(out), n)
+            perm = np.random.default_rng(
+                (self.seed * 1_000_003 + epoch) & 0x7FFFFFFF
+            ).permutation(n)
+            take = min(self.batch_size - len(out), n - offset)
+            out.extend(perm[offset : offset + take])
+        return np.asarray(out[: self.batch_size])
+
+    def _make_batch(self, batch_idx: int) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng(
+            (self.seed * 7_368_787 + batch_idx) & 0x7FFFFFFF
+        )
+        idxs = self._indices_for_batch(batch_idx)
+        recs = [
+            transform_record(self.records[i], rng, **self.tf_params)
+            for i in idxs
+        ]
+        return {
+            k: np.stack([r[k] for r in recs])
+            for k in ("image", "sizes", "boxes", "classes", "valid")
+        }
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Dict[str, np.ndarray]:
+        with self._lock:
+            while self._next_submit < self._next_read + self._prefetch + 1:
+                self._futures[self._next_submit] = self._pool.submit(
+                    self._make_batch, self._next_submit
+                )
+                self._next_submit += 1
+            fut = self._futures.pop(self._next_read)
+            self._next_read += 1
+        return fut.result()
+
+
+class WeakStrongLoader:
+    """Zip of labeled + unlabeled streams -> the train_step batch dict.
+
+    Mirrors the reference loader contract (``aldi/trainer.py:210-240``):
+    batch sizes derive from SOLVER.IMS_PER_BATCH split by
+    DATASETS.BATCH_CONTENTS / BATCH_RATIOS; either stream may be absent.
+    """
+
+    def __init__(self, cfg, canvas, seed: int = 0,
+                 num_threads: Optional[int] = None):
+        contents = cfg.DATASETS.BATCH_CONTENTS
+        ratios = cfg.DATASETS.BATCH_RATIOS
+        assert len(contents) == len(ratios), (
+            "BATCH_CONTENTS and BATCH_RATIOS must have equal length"
+        )
+        total = cfg.SOLVER.IMS_PER_BATCH
+        sizes = [int(total * r / sum(ratios)) for r in ratios]
+        assert sum(sizes) == total, (sizes, total)
+
+        labeled_bs = max(
+            [s for c, s in zip(contents, sizes) if c.startswith("labeled")],
+            default=0,
+        )
+        unlabeled_bs = max(
+            [s for c, s in zip(contents, sizes) if c.startswith("unlabeled")],
+            default=0,
+        )
+        threads = num_threads or cfg.TPU.DATA_THREADS
+
+        self.labeled = None
+        if labeled_bs > 0 and len(cfg.DATASETS.TRAIN):
+            self.labeled = StreamLoader(
+                get_dataset_records(
+                    cfg.DATASETS.TRAIN, cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS
+                ),
+                labeled_bs, cfg, canvas, True, seed, threads,
+                cfg.TPU.PREFETCH,
+            )
+        self.unlabeled = None
+        if unlabeled_bs > 0 and len(cfg.DATASETS.UNLABELED):
+            self.unlabeled = StreamLoader(
+                get_dataset_records(
+                    cfg.DATASETS.UNLABELED,
+                    cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS,
+                ),
+                unlabeled_bs, cfg, canvas, True, seed + 1, threads,
+                cfg.TPU.PREFETCH,
+            )
+        self.canvas = canvas
+
+    def __iter__(self):
+        return self
+
+    def _empty_stream(self):
+        ch, cw = self.canvas
+        return {
+            "image": np.zeros((0, ch, cw, 3), np.uint8),
+            "sizes": np.zeros((0, 2), np.int32),
+        }
+
+    def __next__(self) -> dict:
+        batch = {}
+        if self.labeled is not None:
+            batch["labeled"] = next(self.labeled)
+        if self.unlabeled is not None:
+            u = next(self.unlabeled)
+            batch["unlabeled"] = {"image": u["image"], "sizes": u["sizes"]}
+        else:
+            batch["unlabeled"] = self._empty_stream()
+        return batch
+
+
+class TestLoader:
+    """Sequential eval loader: yields (batch, metas) where metas carry
+    image_id and the resize scale for mapping canvas boxes back to original
+    image coordinates (the reference does this in GeneralizedRCNN
+    postprocess; we do it host-side in the evaluator)."""
+
+    def __init__(self, dataset_name: str, cfg, canvas, batch_size: int = 8):
+        self.records = DatasetCatalog.get(dataset_name)
+        self.cfg = cfg
+        self.canvas = tuple(canvas)
+        self.batch_size = batch_size
+
+    def __iter__(self):
+        rng = np.random.default_rng(0)
+        bs = self.batch_size
+        for i in range(0, len(self.records), bs):
+            chunk = self.records[i : i + bs]
+            recs = [
+                transform_record(
+                    r, rng,
+                    min_sizes=[self.cfg.INPUT.MIN_SIZE_TEST],
+                    max_size=self.cfg.INPUT.MAX_SIZE_TEST,
+                    canvas=self.canvas,
+                    flip=False,
+                    sampling="choice",
+                    max_gt=self.cfg.TPU.MAX_GT,
+                    bgr=self.cfg.INPUT.FORMAT.upper() == "BGR",
+                    is_train=False,
+                )
+                for r in chunk
+            ]
+            npad = bs - len(recs)
+            batch = {
+                k: np.stack([r[k] for r in recs])
+                for k in ("image", "sizes")
+            }
+            if npad:
+                batch = {
+                    k: np.concatenate(
+                        [v, np.zeros((npad,) + v.shape[1:], v.dtype)]
+                    )
+                    for k, v in batch.items()
+                }
+            metas = [
+                {"image_id": r["image_id"], "scale": r["scale"]} for r in recs
+            ]
+            yield batch, metas

@@ -1,0 +1,106 @@
+"""Host-side geometric transforms (the reference's "weak" augmentation).
+
+Substrate equivalents: ``ResizeShortestEdge`` with "choice" sampling +
+``RandomFlip`` (built by ``utils.build_augmentation``, reference
+``aldi/aug.py:21-23``) and optional ``RandomCrop`` (``aldi/aug.py:22-23``).
+Pixel-space strong augs live on-device (data/strong_aug.py); only geometry
+happens on host so GT boxes and both weak/strong views share one transform.
+
+Output contract (the ragged->static boundary): every record is resized,
+flipped, then pasted top-left onto the fixed canvas; boxes are transformed
+alongside; actual (h, w) is reported so the model can clip/mask padding.
+"""
+
+from typing import List, Tuple
+
+import numpy as np
+from PIL import Image
+
+
+def resize_shortest_edge(
+    img: Image.Image, short: int, max_size: int
+) -> Tuple[Image.Image, float]:
+    """Scale so the short edge == short, capped so long edge <= max_size.
+    Returns (resized, scale)."""
+    w, h = img.size
+    scale = short / min(h, w)
+    if max(h, w) * scale > max_size:
+        scale = max_size / max(h, w)
+    nw, nh = int(w * scale + 0.5), int(h * scale + 0.5)
+    return img.resize((nw, nh), Image.BILINEAR), scale
+
+
+def transform_record(
+    record: dict,
+    rng: np.random.Generator,
+    min_sizes: List[int],
+    max_size: int,
+    canvas: Tuple[int, int],
+    flip: bool = True,
+    sampling: str = "choice",
+    max_gt: int = 100,
+    bgr: bool = True,
+    crop: dict = None,
+    is_train: bool = True,
+):
+    """record (COCO dict) -> dict of fixed-shape numpy arrays.
+
+    Returns {image uint8 [H,W,3], sizes [2], boxes [G,4], classes [G],
+    valid [G], image_id, scale}.
+    """
+    img = Image.open(record["file_name"])
+    img = img.convert("RGB")
+
+    if is_train and sampling == "range" and len(min_sizes) == 2:
+        short = int(rng.integers(min_sizes[0], min_sizes[1] + 1))
+    elif is_train:
+        short = int(min_sizes[rng.integers(len(min_sizes))])
+    else:
+        short = int(min_sizes[0])
+    img, scale = resize_shortest_edge(img, short, max_size)
+    w, h = img.size
+
+    # boxes: XYWH -> XYXY, scaled
+    anns = [a for a in record.get("annotations", []) if not a["iscrowd"]]
+    boxes = np.zeros((max_gt, 4), np.float32)
+    classes = np.zeros((max_gt,), np.int32)
+    valid = np.zeros((max_gt,), bool)
+    for i, a in enumerate(anns[:max_gt]):
+        x, y, bw, bh = a["bbox"]
+        boxes[i] = [x * scale, y * scale, (x + bw) * scale, (y + bh) * scale]
+        classes[i] = a["category_id"]
+        valid[i] = True
+
+    do_flip = bool(is_train and flip and rng.random() < 0.5)
+    arr = np.asarray(img, np.uint8)
+    if do_flip:
+        arr = arr[:, ::-1]
+        x0 = boxes[:, 0].copy()
+        boxes[:, 0] = w - boxes[:, 2]
+        boxes[:, 2] = w - x0
+
+    if bgr:
+        arr = arr[:, :, ::-1]
+
+    ch, cw = canvas
+    if h > ch or w > cw:  # safety: canvas should already cover max resize
+        arr = arr[:ch, :cw]
+        h, w = min(h, ch), min(w, cw)
+        np.clip(boxes[:, [0, 2]], 0, w, out=boxes[:, [0, 2]])
+        np.clip(boxes[:, [1, 3]], 0, h, out=boxes[:, [1, 3]])
+    out_img = np.zeros((ch, cw, 3), np.uint8)
+    out_img[:h, :w] = arr
+
+    # drop boxes that became degenerate
+    keep = (boxes[:, 2] - boxes[:, 0] > 0.5) & (boxes[:, 3] - boxes[:, 1] > 0.5)
+    valid &= keep
+
+    return {
+        "image": out_img,
+        "sizes": np.asarray([h, w], np.int32),
+        "boxes": boxes,
+        "classes": classes,
+        "valid": valid,
+        "image_id": record["image_id"],
+        "scale": scale,
+    }

@@ -1,0 +1,143 @@
+"""Checkpoint save/restore + reference-format weight import.
+
+Substrate equivalents: ``DetectionCheckpointer`` (+ fvcore) with the
+reference's EMA-aware wrapper (``aldi/checkpoint.py:18-32``): resume =
+model+optimizer+EMA+iteration; fresh start from a ``.pth`` containing both
+{model, ema} initializes the student from the **EMA** weights when
+``EMA.LOAD_FROM_EMA_ON_START`` (the burn-in -> DA handoff); zoo ``.pkl``
+(Caffe2 names) are ingested via a name map (checkpoint_convert.py).
+
+Native checkpoints are orbax PyTree checkpoints of the TrainState.
+"""
+
+import os
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .train_step import TrainState
+
+_CKPT_RE = re.compile(r"^model_(\d+)$")
+_LAST = "last_checkpoint"
+
+
+class Checkpointer:
+    def __init__(self, output_dir: str, logger=None):
+        self.dir = os.path.abspath(output_dir)
+        os.makedirs(self.dir, exist_ok=True)
+        self._ckptr = ocp.PyTreeCheckpointer()
+        self.logger = logger
+
+    # ----------------------------------------------------------- native IO
+    def save(self, state: TrainState, name: Optional[str] = None):
+        step = int(state.step)
+        name = name or f"model_{step:07d}"
+        path = os.path.join(self.dir, name)
+        self._ckptr.save(path, jax.device_get(state), force=True)
+        with open(os.path.join(self.dir, _LAST), "w") as f:
+            f.write(name)
+        if self.logger:
+            self.logger.info(f"Saved checkpoint {path}")
+        return path
+
+    def has_checkpoint(self) -> bool:
+        return os.path.exists(os.path.join(self.dir, _LAST))
+
+    def latest_path(self) -> Optional[str]:
+        p = os.path.join(self.dir, _LAST)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return os.path.join(self.dir, f.read().strip())
+
+    def load(self, path: str, target: TrainState) -> TrainState:
+        restored = self._ckptr.restore(path, item=jax.device_get(target))
+        return jax.tree_util.tree_map(lambda t, r: r, target, restored)
+
+    # ------------------------------------------------- reference interop
+    def resume_or_load(
+        self, state: TrainState, weights: str, resume: bool,
+        load_from_ema: bool = True,
+    ) -> TrainState:
+        """Reference semantics (``aldi/checkpoint.py`` +
+        DetectionCheckpointer): if resume and a checkpoint exists in
+        OUTPUT_DIR, restore everything; else fresh-load MODEL.WEIGHTS into
+        the model only (EMA entry preferred when present +
+        ``load_from_ema``)."""
+        if resume and self.has_checkpoint():
+            path = self.latest_path()
+            if self.logger:
+                self.logger.info(f"Resuming from {path}")
+            return self.load(path, state)
+        if not weights:
+            return state
+        return load_reference_weights(
+            state, weights, load_from_ema=load_from_ema, logger=self.logger
+        )
+
+
+def load_reference_weights(
+    state: TrainState, path: str, load_from_ema: bool = True, logger=None
+) -> TrainState:
+    """Fresh-start weight loading from a reference-format file.
+
+    Supports: native orbax dirs, torch ``.pth`` (ALDI checkpoints with
+    {model, ema} or plain state dicts), and D2 zoo ``.pkl``.
+    """
+    from .checkpoint_convert import (
+        load_d2_pkl_state_dict,
+        load_torch_state_dict,
+        torch_state_dict_to_tree,
+    )
+
+    if os.path.isdir(path):  # native checkpoint dir: model weights only
+        ckptr = ocp.PyTreeCheckpointer()
+        restored = ckptr.restore(path, item=jax.device_get(state))
+        new_params = restored.params
+        new_ema = (
+            restored.ema_params
+            if (load_from_ema and restored.ema_params is not None)
+            else None
+        )
+        params = new_ema if new_ema is not None else new_params
+        frozen = restored.frozen
+        return state.replace(
+            params=params,
+            frozen=frozen,
+            ema_params=(
+                jax.tree_util.tree_map(np.copy, params)
+                if state.ema_params is not None else None
+            ),
+        )
+
+    if path.endswith(".pkl"):
+        sd = load_d2_pkl_state_dict(path)
+    else:
+        sd = load_torch_state_dict(path)
+        if "model" in sd and isinstance(sd["model"], dict):
+            if load_from_ema and "ema" in sd:
+                # EMA entries are prefixed "model." (reference
+                # aldi/checkpoint.py:24-27)
+                ema = {
+                    k[len("model."):] if k.startswith("model.") else k: v
+                    for k, v in sd["ema"].items()
+                }
+                sd = ema
+                if logger:
+                    logger.info(f"Initializing from EMA weights in {path}")
+            else:
+                sd = sd["model"]
+
+    params, frozen = torch_state_dict_to_tree(
+        sd, jax.device_get(state.params), jax.device_get(state.frozen),
+        logger=logger,
+    )
+    ema_params = (
+        jax.tree_util.tree_map(np.copy, params)
+        if state.ema_params is not None
+        else None
+    )
+    return state.replace(params=params, frozen=frozen, ema_params=ema_params)

@@ -1,0 +1,84 @@
+"""Detection evaluation driver.
+
+Substrate equivalent: ``inference_on_dataset`` + ``COCOEvaluator`` as used
+by the reference's eval hook and ``--eval-only`` path
+(``aldi/trainer.py:166-171``, ``tools/train_net.py:67-81``). Runs jitted
+inference over a TestLoader, maps canvas-space detections back to original
+image coordinates (the reference's ``do_postprocess`` rescale), and scores
+with the native COCO mAP implementation.
+"""
+
+import time
+from collections import defaultdict
+from typing import Dict
+
+import jax
+import numpy as np
+
+from ..data.catalog import MetadataCatalog
+from ..data.loader import TestLoader
+from .coco_eval import evaluate_detections
+
+
+def inference_on_dataset(
+    detector, variables, dataset_name: str, cfg, batch_size: int = 8,
+    logger=None,
+) -> Dict[str, float]:
+    loader = TestLoader(dataset_name, cfg, detector.canvas, batch_size)
+    md = MetadataCatalog.get(dataset_name)
+
+    fwd = jax.jit(detector.forward_inference)
+
+    predictions = defaultdict(list)
+    n_images = 0
+    t0 = time.time()
+    for batch, metas in loader:
+        boxes, scores, classes, valid = jax.device_get(
+            fwd(variables, batch["image"], batch["sizes"])
+        )
+        for i, meta in enumerate(metas):
+            s = meta["scale"]
+            for b, sc, cl, v in zip(boxes[i], scores[i], classes[i], valid[i]):
+                if not v:
+                    continue
+                x0, y0, x1, y1 = (b / s).tolist()
+                predictions[meta["image_id"]].append(
+                    {
+                        "bbox": [x0, y0, x1 - x0, y1 - y0],  # XYWH
+                        "score": float(sc),
+                        "category_id": int(cl),
+                    }
+                )
+            n_images += 1
+    infer_time = time.time() - t0
+
+    # ground truth in contiguous category ids
+    from ..data.catalog import DatasetCatalog
+
+    records = DatasetCatalog.get(dataset_name)
+    annotations = {
+        r["image_id"]: [
+            {
+                "bbox": a["bbox"],
+                "category_id": a["category_id"],
+                "iscrowd": a["iscrowd"],
+                "area": a["area"],
+            }
+            for a in r["annotations"]
+        ]
+        for r in records
+    }
+    n_classes = len(md.get("thing_classes", [])) or (
+        max(
+            (a["category_id"] for anns in annotations.values() for a in anns),
+            default=0,
+        )
+        + 1
+    )
+    results = evaluate_detections(
+        dict(predictions), annotations, list(range(n_classes))
+    )
+    results["images_per_sec"] = n_images / max(infer_time, 1e-9)
+    if logger:
+        logger.info(f"[{dataset_name}] {results}")
+    return results

@@ -1,0 +1,272 @@
+"""The DAOD iteration as ONE jitted, donated, mesh-shardable train step.
+
+This is the functional re-design of the reference's hot loop
+``run_model_labeled_unlabeled`` (``aldi/trainer.py:28-117``) plus its
+surrounding machinery (EMA update in before_step ``aldi/trainer.py:242-246``,
+distiller ``aldi/distill.py:144-191``, pseudo-labeler, device augs):
+
+    state, metrics = train_step(state, batch, rng)
+
+compiles the EMA blend, teacher pseudo-labeling inference, device-side strong
+augmentation, all student forwards, distill/align losses, backward, and the
+optimizer update into a single XLA program. Under a data-parallel sharding,
+XLA inserts the gradient all-reduce over ICI (replacing DDP/NCCL,
+SURVEY.md section 2.6).
+
+Stream weighting reproduces the reference's gradient-accumulation math:
+every loss is divided by ``num_grad_accum_steps = (n_lw + n_ls + n_uw) /
+model_batch_size`` and each stream contributes ``n_s / model_batch_size``
+chunks (``aldi/trainer.py:51-52,70``), so stream s has effective weight
+``n_s / (n_lw + n_ls + n_uw)`` on its mean loss — including the distill
+stream, whose size is NOT part of the denominator.
+
+Teacher cost note: the reference runs the teacher twice per iteration (eval
+inference for pseudo-labels + a hooked train-mode pass,
+``aldi/distill.py:148-162``). The two passes see the same images and the
+same weights, so backbone + RPN-head outputs are computed once here and
+shared; only the teacher box head runs a second time (on the student's
+sampled proposals).
+"""
+
+from functools import partial
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.strong_aug import strong_augment
+from ..models.rpn import label_anchors
+from ..solver import build_optimizer
+from ..structures import Instances
+from .distill import gate_hard_losses, roih_distill_losses, rpn_distill_losses
+from .ema import ema_update
+from .pseudolabel import detections_to_pseudo_labels
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray  # int32 scalar
+    params: Any
+    frozen: Any  # non-trainable collections (FrozenBN stats), shared w/ EMA
+    opt_state: Any
+    ema_params: Any = None  # teacher weights; None when EMA disabled
+
+
+def create_train_state(cfg, detector, rng) -> tuple:
+    """Initialize model variables + optimizer. Returns (state, optimizer)."""
+    variables = detector.init_variables(rng)
+    params = variables["params"]
+    frozen = variables.get("frozen", {})
+    tx = build_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    ema_params = jax.tree_util.tree_map(jnp.copy, params) if cfg.EMA.ENABLED else None
+    return (
+        TrainState(
+            step=jnp.asarray(0, jnp.int32),
+            params=params,
+            frozen=frozen,
+            opt_state=opt_state,
+            ema_params=ema_params,
+        ),
+        tx,
+    )
+
+
+def _gt_from_batch(stream: dict) -> Instances:
+    return Instances(
+        boxes=stream["boxes"],
+        classes=stream["classes"],
+        valid=stream["valid"],
+        scores=None,
+    )
+
+
+def make_train_step(cfg, detector, tx):
+    """Build the jitted step for this config's stream composition."""
+    contents = cfg.DATASETS.BATCH_CONTENTS
+    do_weak = "labeled_weak" in contents
+    do_strong = "labeled_strong" in contents
+    has_unlabeled = (
+        any(s.startswith("unlabeled") for s in contents)
+        and len(cfg.DATASETS.UNLABELED) > 0
+    )
+    a = cfg.DOMAIN_ADAPT.ALIGN
+    do_align = a.IMG_DA_ENABLED or a.INS_DA_ENABLED
+    d = cfg.DOMAIN_ADAPT.DISTILL
+    do_hard = any([d.HARD_ROIH_CLS_ENABLED, d.HARD_ROIH_REG_ENABLED,
+                   d.HARD_OBJ_ENABLED, d.HARD_RPN_REG_ENABLED])
+    do_soft = any([d.ROIH_CLS_ENABLED, d.ROIH_REG_ENABLED, d.OBJ_ENABLED,
+                   d.RPN_REG_ENABLED])
+    do_distill = has_unlabeled and (do_hard or do_soft)
+    use_ema = cfg.EMA.ENABLED
+    max_gt = cfg.TPU.MAX_GT
+    threshold = cfg.DOMAIN_ADAPT.TEACHER.THRESHOLD
+
+    lab_erase = cfg.AUG.LABELED_INCLUDE_RANDOM_ERASING
+    unlab_erase = cfg.AUG.UNLABELED_INCLUDE_RANDOM_ERASING
+    lab_mic = cfg.AUG.LABELED_MIC_AUG
+    unlab_mic = cfg.AUG.UNLABELED_MIC_AUG
+    mic_ratio, mic_block = cfg.AUG.MIC_RATIO, cfg.AUG.MIC_BLOCK_SIZE
+
+    def train_step(state: TrainState, batch: dict, rng):
+        keys = jax.random.split(rng, 10)
+        metrics = {}
+
+        # ---- EMA teacher update (before the step, reference before_step)
+        ema_params = state.ema_params
+        if use_ema:
+            ema_params = ema_update(
+                state.ema_params, state.params, cfg.EMA.ALPHA, state.step,
+                cfg.EMA.START_ITER,
+            )
+        teacher_params = ema_params if use_ema else state.params
+
+        # ---- stream sizes -> reference-equivalent weights
+        n_ls = batch["labeled"]["image"].shape[0] if (do_weak or do_strong) else 0
+        n_lw = n_ls if do_weak else 0
+        n_uw = batch["unlabeled"]["image"].shape[0] if (do_align or do_distill) else 0
+        n_eff = max((n_lw if do_weak else 0) + (n_ls if do_strong else 0) + n_uw, 1)
+
+        # ---- teacher pass (no grad): pseudo-labels + distill targets
+        pseudo_gt = None
+        t_rpn_logits = t_rpn_deltas = t_feats = None
+        anchor_labels = None
+        if do_distill:
+            teacher_vars = {"params": teacher_params, "frozen": state.frozen}
+            uw = batch["unlabeled"]
+            t_feats, t_rpn_logits, t_rpn_deltas, dets = detector.forward_teacher(
+                teacher_vars, uw["image"], uw["sizes"]
+            )
+            pseudo_gt = detections_to_pseudo_labels(
+                *dets, threshold=threshold, max_gt=max_gt
+            )
+            metrics["num_pseudo_labels"] = pseudo_gt.valid.sum() / max(n_uw, 1)
+            if d.OBJ_ENABLED or d.RPN_REG_ENABLED:
+                anchor_labels, _ = label_anchors(
+                    keys[0], detector.anchors_cat, pseudo_gt.boxes,
+                    pseudo_gt.valid, **{
+                        "batch_size_per_image":
+                            cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE,
+                        "positive_fraction": cfg.MODEL.RPN.POSITIVE_FRACTION,
+                    },
+                )
+
+        # ---- strong views, derived on device
+        ls_images = None
+        if do_strong:
+            ls_images = strong_augment(
+                keys[1], batch["labeled"]["image"], batch["labeled"]["sizes"],
+                include_erasing=lab_erase, mic=lab_mic,
+                mic_ratio=mic_ratio, mic_block_size=mic_block,
+            )
+        us_images = None
+        if do_distill:
+            us_images = strong_augment(
+                keys[2], batch["unlabeled"]["image"],
+                batch["unlabeled"]["sizes"],
+                include_erasing=unlab_erase, mic=unlab_mic,
+                mic_ratio=mic_ratio, mic_block_size=mic_block,
+            )
+
+        def loss_fn(params):
+            variables = {"params": params, "frozen": state.frozen}
+            loss_dict = {}
+
+            def add(losses, suffix, weight):
+                for k, v in losses.items():
+                    loss_dict[f"{k}_{suffix}"] = v * weight
+
+            if do_weak:
+                losses, _ = detector.forward_train(
+                    variables, batch["labeled"]["image"],
+                    batch["labeled"]["sizes"], _gt_from_batch(batch["labeled"]),
+                    keys[3], do_align=do_align, domain_label=1.0,
+                )
+                add(losses, "source_weak", n_lw / n_eff)
+
+            if do_strong:
+                losses, _ = detector.forward_train(
+                    variables, ls_images, batch["labeled"]["sizes"],
+                    _gt_from_batch(batch["labeled"]), keys[4],
+                    do_align=do_align, domain_label=1.0,
+                )
+                add(losses, "source_strong", n_ls / n_eff)
+
+            if do_align:
+                losses = detector.forward_domain_align(
+                    variables, batch["unlabeled"]["image"],
+                    batch["unlabeled"]["sizes"], keys[5], domain_label=0.0,
+                )
+                add(losses, "target_weak", n_uw / n_eff)
+
+            if do_distill:
+                # student full train pass on pseudo-GT (strong view)
+                std_losses, s_aux = detector.forward_train(
+                    variables, us_images, batch["unlabeled"]["sizes"],
+                    pseudo_gt, keys[6],
+                )
+                dist_losses = dict(gate_hard_losses(std_losses, cfg))
+
+                if do_soft:
+                    # teacher box head on the student's sampled proposals
+                    sampled = jax.lax.stop_gradient(s_aux["sampled"])
+                    teacher_vars = {
+                        "params": teacher_params, "frozen": state.frozen
+                    }
+                    t_cls, t_deltas, _ = detector.box_head(
+                        teacher_vars, t_feats, sampled["boxes"],
+                        sampled["valid"],
+                    )
+                    t_cls = jax.lax.stop_gradient(t_cls.astype(jnp.float32))
+                    t_deltas = jax.lax.stop_gradient(
+                        t_deltas.astype(jnp.float32))
+
+                    if d.OBJ_ENABLED or d.RPN_REG_ENABLED:
+                        dist_losses.update(
+                            rpn_distill_losses(
+                                s_aux["rpn_logits"], s_aux["rpn_deltas"],
+                                t_rpn_logits, t_rpn_deltas, anchor_labels,
+                                obj_temperature=d.OBJ_TMP,
+                                do_obj=d.OBJ_ENABLED,
+                                do_reg=d.RPN_REG_ENABLED,
+                            )
+                        )
+                    if d.ROIH_CLS_ENABLED or d.ROIH_REG_ENABLED:
+                        dist_losses.update(
+                            roih_distill_losses(
+                                s_aux["roih_cls_logits"], s_aux["roih_deltas"],
+                                t_cls, t_deltas, sampled["valid"],
+                                detector.num_classes,
+                                cls_temperature=d.CLS_TMP,
+                                cls_loss_type=cfg.DOMAIN_ADAPT.CLS_LOSS_TYPE,
+                                do_cls=d.ROIH_CLS_ENABLED,
+                                do_reg=d.ROIH_REG_ENABLED,
+                            )
+                        )
+                add(dist_losses, "distill", n_uw / n_eff)
+
+            total = sum(
+                jnp.asarray(v, jnp.float32) for v in loss_dict.values()
+            )
+            return total, loss_dict
+
+        (total, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        metrics.update(loss_dict)
+        metrics["total_loss"] = total
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            ema_params=ema_params,
+        )
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))

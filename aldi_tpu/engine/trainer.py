@@ -1,0 +1,156 @@
+"""The DAOD trainer: loop, hooks-equivalent scheduling, eval, checkpoints.
+
+Substrate equivalents: ``DefaultTrainer``/``SimpleTrainer``/``AMPTrainer``
+plus the reference's ``ALDITrainer`` (``aldi/trainer.py:140-246``). The hook
+system collapses into explicit schedule points in one loop:
+
+- EMA update: inside the jitted step (reference before_step,
+  ``aldi/trainer.py:242-246``)
+- eval every TEST.EVAL_PERIOD on the teacher when EMA is on
+  (``aldi/trainer.py:177-185``)
+- best-checkpoint per test set on bbox/AP50 (``aldi/trainer.py:187-196``)
+- periodic checkpoints every SOLVER.CHECKPOINT_PERIOD
+- metric writers every 20 iters (substrate PeriodicWriter default)
+
+AMP note: SOLVER.AMP.ENABLED selects bfloat16 compute (fp32 params); no
+GradScaler exists because bf16 has fp32 exponent range (SURVEY.md section 2.6).
+"""
+
+import os
+import time
+
+import jax
+import numpy as np
+
+from .. import data  # noqa: F401  (dataset registrations)
+from ..data import datasets  # noqa: F401
+from ..data.loader import WeakStrongLoader
+from ..models import build_detector
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..utils.events import EventStorage, JSONWriter, TerminalWriter, setup_logger
+from .checkpoint import Checkpointer
+from .evaluator import inference_on_dataset
+from .train_step import create_train_state, make_train_step
+
+WRITE_PERIOD = 20
+
+
+class ALDITrainer:
+    def __init__(self, cfg):
+        cfg = cfg.clone() if not cfg.is_frozen() else cfg
+        self.cfg = cfg
+        self.logger = setup_logger(cfg.OUTPUT_DIR)
+        self.detector = build_detector(cfg)
+
+        seed = cfg.SEED if cfg.SEED >= 0 else 42
+        self.base_key = jax.random.PRNGKey(seed)
+        init_key, self.train_key = jax.random.split(self.base_key)
+
+        self.state, self._tx = create_train_state(cfg, self.detector, init_key)
+        self.step_fn = make_train_step(cfg, self.detector, self._tx)
+
+        self.mesh = make_mesh() if len(jax.devices()) > 1 else None
+        if self.mesh is not None:
+            self.state = replicate(self.state, self.mesh)
+            self.logger.info(
+                f"Data-parallel over {len(jax.devices())} devices"
+            )
+
+        self.loader = None  # built lazily (eval-only runs have no train data)
+        self.checkpointer = Checkpointer(cfg.OUTPUT_DIR, self.logger)
+        self.storage = EventStorage()
+        self.writers = [
+            JSONWriter(os.path.join(cfg.OUTPUT_DIR, "metrics.json")),
+            TerminalWriter(cfg.SOLVER.MAX_ITER, self.logger),
+        ]
+        self._best = {}
+
+    # ------------------------------------------------------------ weights
+    def resume_or_load(self, resume: bool = False):
+        self.state = self.checkpointer.resume_or_load(
+            self.state, self.cfg.MODEL.WEIGHTS, resume,
+            load_from_ema=self.cfg.EMA.ENABLED
+            and self.cfg.EMA.LOAD_FROM_EMA_ON_START,
+        )
+        if self.mesh is not None:
+            self.state = replicate(self.state, self.mesh)
+
+    # --------------------------------------------------------------- train
+    def train(self):
+        cfg = self.cfg
+        if self.loader is None:
+            self.loader = WeakStrongLoader(
+                cfg, self.detector.canvas, seed=int(cfg.SEED if cfg.SEED >= 0 else 42)
+            )
+        start = int(jax.device_get(self.state.step))
+        max_iter = cfg.SOLVER.MAX_ITER
+        self.logger.info(f"Starting training from iteration {start}")
+        self.storage.iter = start
+
+        data_t0 = time.time()
+        for it in range(start, max_iter):
+            batch = next(self.loader)
+            data_time = time.time() - data_t0
+            if self.mesh is not None:
+                batch = shard_batch(batch, self.mesh)
+            step_key = jax.random.fold_in(self.train_key, it)
+            self.state, metrics = self.step_fn(self.state, batch, step_key)
+
+            self.storage.iter = it + 1
+            if (it + 1) % WRITE_PERIOD == 0 or it == start:
+                host_metrics = {
+                    k: float(v) for k, v in jax.device_get(metrics).items()
+                }
+                host_metrics["data_time"] = data_time
+                self.storage.put_scalars(**host_metrics)
+                for w in self.writers:
+                    w.write(self.storage)
+                total = host_metrics.get("total_loss", 0.0)
+                if not np.isfinite(total):
+                    raise FloatingPointError(
+                        f"Loss became {total} at iteration {it}"
+                    )
+
+            next_it = it + 1
+            if cfg.TEST.EVAL_PERIOD and next_it % cfg.TEST.EVAL_PERIOD == 0:
+                self._eval_and_track_best()
+            if next_it % cfg.SOLVER.CHECKPOINT_PERIOD == 0 or next_it == max_iter:
+                self.checkpointer.save(self.state)
+            data_t0 = time.time()
+
+        if cfg.TEST.EVAL_PERIOD:
+            return self._eval_and_track_best()
+        return {}
+
+    # ---------------------------------------------------------------- eval
+    def _eval_variables(self):
+        """Evaluate the teacher when EMA is on (reference
+        ``aldi/trainer.py:177-180``)."""
+        params = (
+            self.state.ema_params
+            if (self.cfg.EMA.ENABLED and self.state.ema_params is not None)
+            else self.state.params
+        )
+        return {"params": params, "frozen": self.state.frozen}
+
+    def test(self, variables=None):
+        variables = variables or self._eval_variables()
+        results = {}
+        for ds in self.cfg.DATASETS.TEST:
+            results[ds] = inference_on_dataset(
+                self.detector, variables, ds, self.cfg, logger=self.logger
+            )
+        return results
+
+    def _eval_and_track_best(self):
+        results = self.test()
+        for ds, res in results.items():
+            self.storage.put_scalars(
+                **{f"{ds}/{k}": v for k, v in res.items() if "bbox" in k}
+            )
+            ap50 = res.get("bbox/AP50", float("nan"))
+            if np.isfinite(ap50) and ap50 > self._best.get(ds, -1.0):
+                self._best[ds] = ap50
+                self.checkpointer.save(self.state, name=f"{ds}_model_best")
+                self.logger.info(f"New best {ds} AP50 = {ap50:.2f}")
+        return results

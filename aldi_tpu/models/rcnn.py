@@ -394,6 +394,68 @@ class RCNNDetector:
             )
         return out
 
+    # -------------------------------------------------------- teacher pass
+    def forward_teacher(self, variables, images, image_sizes):
+        """One teacher pass serving both reference passes (eval inference for
+        pseudo-labels, ``aldi/pseudolabeler.py:21``, and the hooked
+        train-mode forward, ``aldi/distill.py:157-162``): backbone + RPN head
+        run once; detection inference uses the eval top-k path. Returns
+        (features, rpn_logits_cat, rpn_deltas_cat, detections)."""
+        x = self.preprocess(images)
+        feats = self.backbone(variables, x)
+        logits, deltas = self.rpn_head(variables, feats)
+        logits_cat = jnp.concatenate(
+            [l.astype(jnp.float32) for l in logits], axis=1
+        )
+        deltas_cat = jnp.concatenate(
+            [d.astype(jnp.float32) for d in deltas], axis=1
+        )
+        pboxes, _, pvalid = self.proposals(logits, deltas, image_sizes, False)
+        cls_logits, box_deltas, _ = self.box_head(
+            variables, feats, pboxes, pvalid
+        )
+        t = self.cfg.TEST
+        r = self.cfg.MODEL.ROI_HEADS
+        dets = fast_rcnn_inference(
+            pboxes, pvalid, cls_logits, box_deltas, image_sizes,
+            self.num_classes,
+            score_thresh=r.SCORE_THRESH_TEST,
+            nms_thresh=r.NMS_THRESH_TEST,
+            topk_per_image=t.DETECTIONS_PER_IMAGE,
+            box_reg_weights=self.box_reg_weights,
+        )
+        return feats, logits_cat, deltas_cat, dets
+
+    # -------------------------------------------------------- align stream
+    def forward_domain_align(
+        self, variables, images, image_sizes, rng, domain_label: float
+    ):
+        """The reference's "target_weak" stream (``aldi/trainer.py:108-109``):
+        a full forward where only ``_da_`` losses are kept. Here only the
+        pieces alignment needs are computed: backbone features for the image
+        discriminator and, if instance alignment is on, proposals + box
+        features for the instance discriminator (matched against an empty
+        GT set, as the reference's unlabeled mapper strips annotations)."""
+        x = self.preprocess(images)
+        feats = self.backbone(variables, x)
+        box_feats = None
+        if self.cfg.DOMAIN_ADAPT.ALIGN.INS_DA_ENABLED:
+            logits, deltas = self.rpn_head(variables, feats)
+            pboxes, _, pvalid = self.proposals(logits, deltas, image_sizes, True)
+            b = images.shape[0]
+            g = 1  # empty gt set
+            empty_boxes = jnp.zeros((b, g, 4), jnp.float32)
+            empty_cls = jnp.zeros((b, g), jnp.int32)
+            empty_valid = jnp.zeros((b, g), bool)
+            sampled = sample_proposals(
+                rng, pboxes, pvalid, empty_boxes, empty_cls, empty_valid,
+                **self.roi_sample_params,
+            )
+            _, _, box_feats = self.box_head(
+                variables, feats, sampled["boxes"], sampled["valid"]
+            )
+        return self._align_losses(variables, feats, box_feats, domain_label)
+
     # ----------------------------------------------------------- inference
     def forward_inference(self, variables, images, image_sizes):
         """Detection inference on the canvas (no rescaling to original image

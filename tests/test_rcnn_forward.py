@@ -11,6 +11,7 @@ from aldi_tpu.structures import Instances
 def tiny_cfg(**overrides):
     cfg = get_cfg()
     cfg.MODEL.ROI_HEADS.NUM_CLASSES = 3
+    cfg.MODEL.RESNETS.DEPTH = 26  # 1 block/stage test variant
     cfg.TPU.CANVAS = (128, 128)
     cfg.TPU.MAX_GT = 8
     # shrink proposal counts so CPU tests are fast
@@ -75,8 +76,8 @@ def test_init_param_shapes(detector_and_vars):
     assert "params" in variables and "frozen" in variables
     flat = jax.tree_util.tree_leaves(variables["params"])
     n_params = sum(x.size for x in flat)
-    # R50-FPN + RPN + box head should be ~41M params
-    assert 30e6 < n_params < 60e6, n_params
+    # tiny R26-FPN + RPN + box head; full R50 adds ~14M more
+    assert 15e6 < n_params < 60e6, n_params
 
 
 def test_forward_train_losses(detector_and_vars, jitted):
