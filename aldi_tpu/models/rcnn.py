@@ -89,16 +89,30 @@ class FCDiscriminator(nn.Module):
 
 
 class RCNN(nn.Module):
-    """Parameter container with per-stage apply methods."""
+    """Parameter container with per-stage apply methods.
+
+    ``backbone_name`` selects the bottom-up net, keyed by the same registry
+    names the reference uses in YAML (``MODEL.BACKBONE.NAME``):
+    build_resnet_fpn_backbone, build_vitdet_b/l_backbone,
+    build_convnext_fpn_backbone. All produce the same p2..p6 contract.
+    """
 
     num_classes: int
     num_cell_anchors: int
+    backbone_name: str = "build_resnet_fpn_backbone"
     depth: int = 50
     freeze_at: int = 2
+    convnext_depths: Sequence[int] = (3, 3, 9, 3)
+    convnext_dims: Sequence[int] = (96, 192, 384, 768)
+    convnext_drop_path: float = 0.2
+    convnext_layer_scale: float = 1e-6
+    use_act_checkpoint: bool = True
     fpn_out_channels: int = 256
+    rpn_conv_dims: Sequence[int] = (-1,)
     num_fc: int = 2
     fc_dim: int = 1024
     num_conv: int = 0
+    box_head_norm: str = ""
     img_da_enabled: bool = False
     img_da_hidden_dims: Sequence[int] = (256,)
     ins_da_enabled: bool = False
@@ -107,18 +121,45 @@ class RCNN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.bottom_up = ResNet(
-            depth=self.depth, freeze_at=self.freeze_at, dtype=self.dtype,
-            name="backbone",
-        )
-        self.fpn = FPN(out_channels=self.fpn_out_channels, dtype=self.dtype)
+        name = self.backbone_name
+        if name == "build_resnet_fpn_backbone":
+            self.bottom_up = ResNet(
+                depth=self.depth, freeze_at=self.freeze_at, dtype=self.dtype,
+                name="backbone",
+            )
+            self.fpn = FPN(out_channels=self.fpn_out_channels, dtype=self.dtype)
+        elif name in ("build_vitdet_b_backbone", "build_vitdet_l_backbone"):
+            from .vit import VIT_CONFIGS, SimpleFeaturePyramid, ViT
+
+            size = name.split("_")[2]
+            self.net = ViT(
+                **VIT_CONFIGS[size],
+                use_act_checkpoint=self.use_act_checkpoint,
+                dtype=self.dtype, name="backbone",
+            )
+            self.sfp = SimpleFeaturePyramid(
+                out_channels=self.fpn_out_channels, dtype=self.dtype
+            )
+        elif name == "build_convnext_fpn_backbone":
+            from .convnext import ConvNeXt
+
+            self.bottom_up = ConvNeXt(
+                depths=tuple(self.convnext_depths),
+                dims=tuple(self.convnext_dims),
+                drop_path_rate=self.convnext_drop_path,
+                layer_scale_init=self.convnext_layer_scale,
+                dtype=self.dtype, name="backbone",
+            )
+            self.fpn = FPN(out_channels=self.fpn_out_channels, dtype=self.dtype)
+        else:
+            raise ValueError(f"Unknown backbone {name}")
         self.rpn_head = StandardRPNHead(
             num_anchors=self.num_cell_anchors, conv_dim=self.fpn_out_channels,
-            dtype=self.dtype,
+            conv_dims=tuple(self.rpn_conv_dims), dtype=self.dtype,
         )
         self.box_head = FastRCNNConvFCHead(
             num_fc=self.num_fc, fc_dim=self.fc_dim, num_conv=self.num_conv,
-            dtype=self.dtype,
+            norm=self.box_head_norm, dtype=self.dtype,
         )
         self.box_predictor = FastRCNNOutputLayers(
             num_classes=self.num_classes, dtype=self.dtype
@@ -132,9 +173,14 @@ class RCNN(nn.Module):
                 hidden_dims=self.ins_da_hidden_dims, dtype=self.dtype
             )
 
-    def backbone_fwd(self, images):
+    def backbone_fwd(self, images, train: bool = False):
         """images (normalized, NHWC) -> ordered FPN feature list p2..p6."""
-        feats = self.fpn(self.bottom_up(images))
+        if self.backbone_name.startswith("build_vitdet"):
+            feats = self.sfp(self.net(images, train))
+        elif self.backbone_name == "build_convnext_fpn_backbone":
+            feats = self.fpn(self.bottom_up(images, train))
+        else:
+            feats = self.fpn(self.bottom_up(images))
         return [feats[k] for k in sorted(feats.keys())]
 
     def rpn_fwd(self, features):
@@ -216,12 +262,20 @@ class RCNNDetector:
         self.module = RCNN(
             num_classes=self.num_classes,
             num_cell_anchors=self.anchor_gen.num_cell_anchors,
+            backbone_name=cfg.MODEL.BACKBONE.NAME,
             depth=cfg.MODEL.RESNETS.DEPTH,
             freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
+            convnext_depths=tuple(cfg.MODEL.CONVNEXT.DEPTHS),
+            convnext_dims=tuple(cfg.MODEL.CONVNEXT.DIMS),
+            convnext_drop_path=cfg.MODEL.CONVNEXT.DROP_PATH_RATE,
+            convnext_layer_scale=cfg.MODEL.CONVNEXT.LAYER_SCALE_INIT_VALUE,
+            use_act_checkpoint=cfg.VIT.USE_ACT_CHECKPOINT,
             fpn_out_channels=cfg.MODEL.FPN.OUT_CHANNELS,
+            rpn_conv_dims=tuple(cfg.MODEL.RPN.CONV_DIMS),
             num_fc=cfg.MODEL.ROI_BOX_HEAD.NUM_FC,
             fc_dim=cfg.MODEL.ROI_BOX_HEAD.FC_DIM,
             num_conv=cfg.MODEL.ROI_BOX_HEAD.NUM_CONV,
+            box_head_norm=cfg.MODEL.ROI_BOX_HEAD.NORM,
             img_da_enabled=cfg.DOMAIN_ADAPT.ALIGN.IMG_DA_ENABLED,
             img_da_hidden_dims=tuple(cfg.DOMAIN_ADAPT.ALIGN.IMG_DA_HIDDEN_DIMS),
             ins_da_enabled=cfg.DOMAIN_ADAPT.ALIGN.INS_DA_ENABLED,
@@ -263,8 +317,11 @@ class RCNNDetector:
         return x.astype(self.dtype)
 
     # -------------------------------------------------------------- stages
-    def backbone(self, variables, images):
-        return self.module.apply(variables, images, method=RCNN.backbone_fwd)
+    def backbone(self, variables, images, train: bool = False, rng=None):
+        rngs = {"dropout": rng} if (train and rng is not None) else None
+        return self.module.apply(
+            variables, images, train, method=RCNN.backbone_fwd, rngs=rngs
+        )
 
     def rpn_head(self, variables, features):
         return self.module.apply(variables, features, method=RCNN.rpn_fwd)
@@ -313,9 +370,9 @@ class RCNNDetector:
         forward (the teacher-on-student-proposals path,
         ``aldi/helpers.py:28-42``); skips RPN proposal generation + sampling.
         """
-        k_rpn, k_roi = jax.random.split(rng)
+        k_rpn, k_roi, k_drop = jax.random.split(rng, 3)
         x = self.preprocess(images)
-        feats = self.backbone(variables, x)
+        feats = self.backbone(variables, x, train=True, rng=k_drop)
         logits, deltas = self.rpn_head(variables, feats)
         logits_cat = jnp.concatenate(
             [l.astype(jnp.float32) for l in logits], axis=1
@@ -436,8 +493,9 @@ class RCNNDetector:
         discriminator and, if instance alignment is on, proposals + box
         features for the instance discriminator (matched against an empty
         GT set, as the reference's unlabeled mapper strips annotations)."""
+        rng, k_drop = jax.random.split(rng)
         x = self.preprocess(images)
-        feats = self.backbone(variables, x)
+        feats = self.backbone(variables, x, train=True, rng=k_drop)
         box_feats = None
         if self.cfg.DOMAIN_ADAPT.ALIGN.INS_DA_ENABLED:
             logits, deltas = self.rpn_head(variables, feats)

@@ -33,6 +33,7 @@ class FastRCNNConvFCHead(nn.Module):
     fc_dim: int = 1024
     num_conv: int = 0
     conv_dim: int = 256
+    norm: str = ""  # "" or "LN" (ViTDet configs)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -40,7 +41,11 @@ class FastRCNNConvFCHead(nn.Module):
         init = nn.initializers.variance_scaling(1.0, "fan_in", "uniform")
         for i in range(self.num_conv):
             x = nn.Conv(self.conv_dim, (3, 3), padding=[(1, 1), (1, 1)],
+                        use_bias=self.norm == "",
                         kernel_init=init, dtype=self.dtype, name=f"conv{i + 1}")(x)
+            if self.norm == "LN":
+                x = nn.LayerNorm(dtype=jnp.float32,
+                                 name=f"conv{i + 1}_norm")(x).astype(self.dtype)
             x = nn.relu(x)
         x = x.reshape(x.shape[0], -1)
         for i in range(self.num_fc):

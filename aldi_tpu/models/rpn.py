@@ -24,25 +24,36 @@ from ..ops.nms import nms_keep_mask, top_k_by_score
 
 
 class StandardRPNHead(nn.Module):
-    """3x3 conv + 1x1 objectness / 1x1 anchor-delta heads, shared across
-    levels. Returns per-level ([B, HWA], [B, HWA, 4])."""
+    """3x3 conv stack + 1x1 objectness / 1x1 anchor-delta heads, shared
+    across levels. conv_dims follows the substrate's MODEL.RPN.CONV_DIMS
+    (-1 = input channels; ViTDet configs use two convs). Returns per-level
+    ([B, HWA], [B, HWA, 4])."""
 
     num_anchors: int
     conv_dim: int = 256
+    conv_dims: tuple = (-1,)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, features: List[jnp.ndarray]):
         init = nn.initializers.normal(0.01)
-        conv = nn.Conv(self.conv_dim, (3, 3), padding=[(1, 1), (1, 1)],
-                       kernel_init=init, dtype=self.dtype, name="conv")
+        convs = []
+        for i, d in enumerate(self.conv_dims):
+            dim = self.conv_dim if d == -1 else d
+            name = "conv" if len(self.conv_dims) == 1 else f"conv{i}"
+            convs.append(
+                nn.Conv(dim, (3, 3), padding=[(1, 1), (1, 1)],
+                        kernel_init=init, dtype=self.dtype, name=name)
+            )
         obj = nn.Conv(self.num_anchors, (1, 1), kernel_init=init,
                       dtype=self.dtype, name="objectness_logits")
         dlt = nn.Conv(self.num_anchors * 4, (1, 1), kernel_init=init,
                       dtype=self.dtype, name="anchor_deltas")
         logits, deltas = [], []
         for f in features:
-            t = nn.relu(conv(f))
+            t = f
+            for conv in convs:
+                t = nn.relu(conv(t))
             b = f.shape[0]
             logits.append(obj(t).reshape(b, -1))  # (H, W, A) row-major
             deltas.append(dlt(t).reshape(b, -1, 4))

@@ -9,8 +9,48 @@ the model's stop_gradient, so weight decay cannot drift frozen parameters.
 
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 import optax
+
+
+def scale_updates_by_tree(mults) -> "optax.GradientTransformation":
+    """Multiply each update leaf by a constant from a matching tree (used
+    for per-layer LR factors)."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        return (
+            jax.tree_util.tree_map(lambda u, m: u * m, updates, mults),
+            state,
+        )
+
+    return optax.GradientTransformation(init, update)
+
+
+def _vit_lr_decay_multipliers(params, num_layers: int, rate: float):
+    """Substrate ``get_vit_lr_decay_rate`` (consumed at reference
+    ``aldi/backbone.py:75-77``): multiplier = rate^(num_layers+1-layer_id);
+    patch/pos embed are layer 0, block i is layer i+1, non-backbone 1.0."""
+
+    def mult_for(path):
+        keys = [getattr(k, "key", "") for k in path]
+        if not keys or keys[0] != "backbone":
+            return 1.0
+        layer_id = 0
+        for k in keys[1:]:
+            if k.startswith("block"):
+                layer_id = int(k[len("block"):]) + 1
+                break
+        return rate ** (num_layers + 1 - layer_id)
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: mult_for(path), params
+    )
 
 
 def warmup_multistep_schedule(cfg) -> Callable:
@@ -106,13 +146,33 @@ def build_optimizer(cfg, params) -> optax.GradientTransformation:
             ),
         ]
     elif opt_name == "ADAMW":
+        # reference get_adamw_optim: pos_embed gets no weight decay
+        # (``aldi/backbone.py:83``)
+        def decay_mask(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: not any(
+                    getattr(k, "key", "") == "pos_embed" for k in path
+                ),
+                params,
+            )
+
         chain = [
             optax.adamw(
                 learning_rate=schedule,
                 b1=0.9, b2=0.999,
                 weight_decay=cfg.SOLVER.WEIGHT_DECAY,
+                mask=decay_mask,
             )
         ]
+        # layer-wise LR decay for ViT-B only, matching the reference
+        # (``aldi/trainer.py:206``: include_vit_lr_decay only when the
+        # backbone is build_vitdet_b_backbone, rate 0.7 over 12 layers)
+        if cfg.MODEL.BACKBONE.NAME == "build_vitdet_b_backbone":
+            chain.append(
+                scale_updates_by_tree(
+                    _vit_lr_decay_multipliers(params, 12, 0.7)
+                )
+            )
     else:
         raise ValueError(f"Unsupported optimizer {opt_name}")
 

@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""Benchmark: ALDI++ DAOD train-step throughput on the available device.
+
+Runs the flagship configuration's full jitted iteration — student forwards
+on labeled-strong + unlabeled-strong streams, EMA teacher pseudo-labeling,
+soft distillation, backward, SGD update, with device-side strong
+augmentation — on synthetic Cityscapes-shaped data (1024x2048 canvas, the
+reference benchmark resolution) and reports images/sec/chip.
+
+Baseline context (BASELINE.md): the reference trains ALDI++ on 8x V100 with
+global batch 48 (24 labeled + 24 unlabeled per iter); its A100 throughput is
+not published. vs_baseline is computed against an assumed 5.0 img/s/chip for
+the reference's 5-forward-pass DDP step on A100 — a generous estimate, to be
+replaced when a measured reference number exists.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+ASSUMED_BASELINE_IMG_PER_S_PER_CHIP = 5.0
+
+
+def build_cfg(canvas, batch_per_chip):
+    from aldi_tpu.config import get_cfg
+
+    cfg = get_cfg()
+    # flagship: Faster R-CNN R50-FPN, ALDI++ recipe
+    # (configs/cityscapes/ALDI-Best-Cityscapes.yaml hyperparameters)
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 8
+    cfg.MODEL.ROI_BOX_HEAD.NUM_FC = 2
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 2000
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 1000
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 1000
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 1000
+    cfg.SOLVER.AMP.ENABLED = True  # bf16 compute
+    cfg.SOLVER.IMS_PER_BATCH = batch_per_chip * 2
+    cfg.DATASETS.BATCH_CONTENTS = ("labeled_strong", "unlabeled_strong")
+    cfg.DATASETS.BATCH_RATIOS = (1, 1)
+    cfg.DATASETS.UNLABELED = ("placeholder",)
+    cfg.EMA.ENABLED = True
+    cfg.DOMAIN_ADAPT.TEACHER.ENABLED = True
+    cfg.DOMAIN_ADAPT.DISTILL.ROIH_CLS_ENABLED = True
+    cfg.DOMAIN_ADAPT.DISTILL.ROIH_REG_ENABLED = True
+    cfg.DOMAIN_ADAPT.DISTILL.OBJ_ENABLED = True
+    cfg.DOMAIN_ADAPT.DISTILL.RPN_REG_ENABLED = True
+    cfg.AUG.UNLABELED_MIC_AUG = True
+    cfg.TPU.CANVAS = canvas
+    cfg.TPU.MAX_GT = 100
+    return cfg
+
+
+def main():
+    import jax
+
+    n_chips = len(jax.devices())
+    platform = jax.devices()[0].platform
+    # per-chip stream batch (labeled == unlabeled), reference trains 3+3 per
+    # V100; start conservative for v5e HBM and let env override
+    bpc = int(os.environ.get("BENCH_BATCH_PER_CHIP", "2"))
+    canvas = (1024, 2048)
+    if platform == "cpu":  # driver smoke on CPU: shrink
+        canvas, bpc = (256, 512), 1
+
+    cfg = build_cfg(canvas, bpc * n_chips)
+    cfg.freeze()
+
+    from __graft_entry__ import _fake_batch
+    from aldi_tpu.engine import create_train_state, make_train_step
+    from aldi_tpu.models import build_detector
+    from aldi_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    det = build_detector(cfg)
+    state, tx = create_train_state(cfg, det, jax.random.PRNGKey(0))
+    step_fn = make_train_step(cfg, det, tx)
+
+    mesh = None
+    if n_chips > 1:
+        mesh = make_mesh(n_chips)
+        state = replicate(state, mesh)
+
+    batch = _fake_batch(bpc * n_chips, det.canvas, cfg.TPU.MAX_GT, True)
+    if mesh is not None:
+        batch = shard_batch(batch, mesh)
+
+    # warmup (compile) + 2 steps
+    for i in range(3):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
+    jax.block_until_ready(state.params)
+
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    t0 = time.time()
+    for i in range(iters):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(100 + i))
+    jax.block_until_ready(state.params)
+    dt = (time.time() - t0) / iters
+
+    imgs_per_iter = 2 * bpc * n_chips  # labeled + unlabeled streams
+    img_per_s_per_chip = imgs_per_iter / dt / n_chips
+    result = {
+        "metric": "aldi++ daod train images/sec/chip (R50-FPN, "
+        f"{canvas[0]}x{canvas[1]}, bf16, {platform})",
+        "value": round(img_per_s_per_chip, 3),
+        "unit": "img/s/chip",
+        "vs_baseline": round(
+            img_per_s_per_chip / ASSUMED_BASELINE_IMG_PER_S_PER_CHIP, 3
+        ),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,13 +1,24 @@
 import os
 
-# Must run before jax is imported anywhere: tests run on CPU with 8 virtual
-# devices so multi-chip sharding logic is exercised without TPU hardware.
+# Tests run on CPU with 8 virtual devices so multi-chip sharding logic is
+# exercised without TPU hardware. NOTE: this interpreter PRELOADS jax at
+# startup (site hook), so env vars alone are too late — use jax.config,
+# which works as long as no backend has been initialized yet.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+_devs = jax.devices()
+assert _devs[0].platform == "cpu" and len(_devs) >= 8, (
+    f"test env must be 8+ virtual CPU devices, got {_devs}"
+)
 
 # Persistent compilation cache makes repeated test runs fast.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
