@@ -37,12 +37,10 @@ import jax.numpy as jnp
 import optax
 
 from ..data.strong_aug import strong_augment
-from ..models.rpn import label_anchors
 from ..solver import build_optimizer
 from ..structures import Instances
-from .distill import gate_hard_losses, roih_distill_losses, rpn_distill_losses
+from .distill import gate_hard_losses
 from .ema import ema_update
-from .pseudolabel import detections_to_pseudo_labels
 
 
 @flax.struct.dataclass
@@ -131,27 +129,15 @@ def make_train_step(cfg, detector, tx):
 
         # ---- teacher pass (no grad): pseudo-labels + distill targets
         pseudo_gt = None
-        t_rpn_logits = t_rpn_deltas = t_feats = None
-        anchor_labels = None
+        teacher_ctx = None
         if do_distill:
             teacher_vars = {"params": teacher_params, "frozen": state.frozen}
             uw = batch["unlabeled"]
-            t_feats, t_rpn_logits, t_rpn_deltas, dets = detector.forward_teacher(
-                teacher_vars, uw["image"], uw["sizes"]
+            teacher_ctx, pseudo_gt, t_metrics = detector.forward_teacher_ctx(
+                teacher_vars, uw["image"], uw["sizes"], keys[0],
+                threshold=threshold, max_gt=max_gt,
             )
-            pseudo_gt = detections_to_pseudo_labels(
-                *dets, threshold=threshold, max_gt=max_gt
-            )
-            metrics["num_pseudo_labels"] = pseudo_gt.valid.sum() / max(n_uw, 1)
-            if d.OBJ_ENABLED or d.RPN_REG_ENABLED:
-                anchor_labels, _ = label_anchors(
-                    keys[0], detector.anchors_cat, pseudo_gt.boxes,
-                    pseudo_gt.valid, **{
-                        "batch_size_per_image":
-                            cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE,
-                        "positive_fraction": cfg.MODEL.RPN.POSITIVE_FRACTION,
-                    },
-                )
+            metrics.update(t_metrics)
 
         # ---- strong views, derived on device
         ls_images = None
@@ -208,43 +194,14 @@ def make_train_step(cfg, detector, tx):
                     pseudo_gt, keys[6],
                 )
                 dist_losses = dict(gate_hard_losses(std_losses, cfg))
-
                 if do_soft:
-                    # teacher box head on the student's sampled proposals
-                    sampled = jax.lax.stop_gradient(s_aux["sampled"])
                     teacher_vars = {
                         "params": teacher_params, "frozen": state.frozen
                     }
-                    t_cls, t_deltas, _ = detector.box_head(
-                        teacher_vars, t_feats, sampled["boxes"],
-                        sampled["valid"],
+                    dist_losses.update(
+                        detector.distill_losses(teacher_vars, teacher_ctx,
+                                                s_aux)
                     )
-                    t_cls = jax.lax.stop_gradient(t_cls.astype(jnp.float32))
-                    t_deltas = jax.lax.stop_gradient(
-                        t_deltas.astype(jnp.float32))
-
-                    if d.OBJ_ENABLED or d.RPN_REG_ENABLED:
-                        dist_losses.update(
-                            rpn_distill_losses(
-                                s_aux["rpn_logits"], s_aux["rpn_deltas"],
-                                t_rpn_logits, t_rpn_deltas, anchor_labels,
-                                obj_temperature=d.OBJ_TMP,
-                                do_obj=d.OBJ_ENABLED,
-                                do_reg=d.RPN_REG_ENABLED,
-                            )
-                        )
-                    if d.ROIH_CLS_ENABLED or d.ROIH_REG_ENABLED:
-                        dist_losses.update(
-                            roih_distill_losses(
-                                s_aux["roih_cls_logits"], s_aux["roih_deltas"],
-                                t_cls, t_deltas, sampled["valid"],
-                                detector.num_classes,
-                                cls_temperature=d.CLS_TMP,
-                                cls_loss_type=cfg.DOMAIN_ADAPT.CLS_LOSS_TYPE,
-                                do_cls=d.ROIH_CLS_ENABLED,
-                                do_reg=d.ROIH_REG_ENABLED,
-                            )
-                        )
                 add(dist_losses, "distill", n_uw / n_eff)
 
             total = sum(

@@ -35,6 +35,12 @@ from .train_step import create_train_state, make_train_step
 WRITE_PERIOD = 20
 
 
+def _stream_sizes(cfg):
+    ratios = cfg.DATASETS.BATCH_RATIOS
+    total = cfg.SOLVER.IMS_PER_BATCH
+    return [int(total * r / sum(ratios)) for r in ratios]
+
+
 class ALDITrainer:
     def __init__(self, cfg):
         cfg = cfg.clone() if not cfg.is_frozen() else cfg
@@ -49,12 +55,17 @@ class ALDITrainer:
         self.state, self._tx = create_train_state(cfg, self.detector, init_key)
         self.step_fn = make_train_step(cfg, self.detector, self._tx)
 
-        self.mesh = make_mesh() if len(jax.devices()) > 1 else None
+        n_mesh = cfg.TPU.MESH_DATA or len(jax.devices())
+        self.mesh = make_mesh(n_mesh) if n_mesh > 1 else None
         if self.mesh is not None:
+            for c, s in zip(cfg.DATASETS.BATCH_CONTENTS,
+                            _stream_sizes(cfg)):
+                assert s % n_mesh == 0, (
+                    f"stream {c} batch {s} not divisible by mesh size "
+                    f"{n_mesh}; adjust SOLVER.IMS_PER_BATCH or TPU.MESH_DATA"
+                )
             self.state = replicate(self.state, self.mesh)
-            self.logger.info(
-                f"Data-parallel over {len(jax.devices())} devices"
-            )
+            self.logger.info(f"Data-parallel over {n_mesh} devices")
 
         self.loader = None  # built lazily (eval-only runs have no train data)
         self.checkpointer = Checkpointer(cfg.OUTPUT_DIR, self.logger)

@@ -34,7 +34,7 @@ from .roi_heads import (
     fast_rcnn_losses,
     sample_proposals,
 )
-from .rpn import StandardRPNHead, generate_proposals, rpn_losses
+from .rpn import StandardRPNHead, generate_proposals, label_anchors, rpn_losses
 
 
 @jax.custom_vjp
@@ -448,6 +448,90 @@ class RCNNDetector:
             tgt = jnp.full_like(preds, domain_label)
             out["loss_da_ins"] = (
                 cfg_a.INS_DA_WEIGHT * bce_with_logits(preds, tgt).mean()
+            )
+        return out
+
+    # ------------------------------------------------ DAOD engine interface
+    # The jitted train step (engine/train_step.py) drives every detector
+    # family through four methods: forward_train, forward_teacher_ctx,
+    # distill_losses, forward_inference. This replaces the reference's
+    # per-family distiller classes + hook wiring (DISTILLER_REGISTRY,
+    # ``aldi/distill.py:17-41``) with a plain method contract.
+
+    mutable_collections = ()  # no BatchNorm in the R-CNN family
+
+    def forward_teacher_ctx(self, variables, images, image_sizes, rng,
+                            threshold: float, max_gt: int):
+        """Teacher side of one distill iteration, run outside the grad path:
+        pseudo-labels + everything distill_losses later needs.
+
+        Returns (ctx, pseudo_gt, metrics).
+        """
+        from ..engine.pseudolabel import detections_to_pseudo_labels
+
+        feats, rpn_logits, rpn_deltas, dets = self.forward_teacher(
+            variables, images, image_sizes
+        )
+        pseudo_gt = detections_to_pseudo_labels(
+            *dets, threshold=threshold, max_gt=max_gt
+        )
+        d = self.cfg.DOMAIN_ADAPT.DISTILL
+        anchor_labels = None
+        if d.OBJ_ENABLED or d.RPN_REG_ENABLED:
+            anchor_labels, _ = label_anchors(
+                rng, self.anchors_cat, pseudo_gt.boxes, pseudo_gt.valid,
+                batch_size_per_image=self.rpn_params["batch_size_per_image"],
+                positive_fraction=self.rpn_params["positive_fraction"],
+            )
+        ctx = {
+            "feats": feats,
+            "rpn_logits": rpn_logits,
+            "rpn_deltas": rpn_deltas,
+            "anchor_labels": anchor_labels,
+        }
+        metrics = {
+            "num_pseudo_labels": pseudo_gt.valid.sum()
+            / jnp.maximum(images.shape[0], 1)
+        }
+        return ctx, pseudo_gt, metrics
+
+    def distill_losses(self, teacher_variables, ctx, s_aux):
+        """Soft distillation losses between the teacher context and the
+        student aux from its pseudo-GT forward (ALDIDistiller semantics,
+        reference ``aldi/distill.py:188-278``)."""
+        from ..engine.distill import roih_distill_losses, rpn_distill_losses
+
+        cfg = self.cfg
+        d = cfg.DOMAIN_ADAPT.DISTILL
+        out = {}
+        sampled = jax.lax.stop_gradient(s_aux["sampled"])
+        t_cls, t_deltas, _ = self.box_head(
+            teacher_variables, ctx["feats"], sampled["boxes"],
+            sampled["valid"],
+        )
+        t_cls = jax.lax.stop_gradient(t_cls.astype(jnp.float32))
+        t_deltas = jax.lax.stop_gradient(t_deltas.astype(jnp.float32))
+        if d.OBJ_ENABLED or d.RPN_REG_ENABLED:
+            out.update(
+                rpn_distill_losses(
+                    s_aux["rpn_logits"], s_aux["rpn_deltas"],
+                    ctx["rpn_logits"], ctx["rpn_deltas"],
+                    ctx["anchor_labels"],
+                    obj_temperature=d.OBJ_TMP,
+                    do_obj=d.OBJ_ENABLED,
+                    do_reg=d.RPN_REG_ENABLED,
+                )
+            )
+        if d.ROIH_CLS_ENABLED or d.ROIH_REG_ENABLED:
+            out.update(
+                roih_distill_losses(
+                    s_aux["roih_cls_logits"], s_aux["roih_deltas"],
+                    t_cls, t_deltas, sampled["valid"], self.num_classes,
+                    cls_temperature=d.CLS_TMP,
+                    cls_loss_type=cfg.DOMAIN_ADAPT.CLS_LOSS_TYPE,
+                    do_cls=d.ROIH_CLS_ENABLED,
+                    do_reg=d.ROIH_REG_ENABLED,
+                )
             )
         return out
 

@@ -28,6 +28,8 @@ def base_cfg(tmp, out_name):
     cfg.TPU.CANVAS = (128, 128)
     cfg.TPU.MAX_GT = 8
     cfg.TPU.DATA_THREADS = 2
+    cfg.TPU.MESH_DATA = 1  # tiny batches; mesh execution covered by
+    # test_graft_entry.py::test_dryrun_multichip_8_devices
     cfg.INPUT.MIN_SIZE_TRAIN = (96,)
     cfg.INPUT.MAX_SIZE_TRAIN = 128
     cfg.INPUT.MIN_SIZE_TEST = 96
