@@ -101,10 +101,14 @@ def gate_hard_losses(standard_losses: dict, cfg) -> dict:
     are kept in the dict so optimizer/metric plumbing sees stable keys)."""
     d = cfg.DOMAIN_ADAPT.DISTILL
     keep = {
+        # R-CNN keys (reference aldi/distill.py:175-180)
         "loss_cls": d.HARD_ROIH_CLS_ENABLED,
         "loss_rpn_cls": d.HARD_OBJ_ENABLED,
         "loss_rpn_loc": d.HARD_RPN_REG_ENABLED,
         "loss_box_reg": d.HARD_ROIH_REG_ENABLED,
+        # YOLO keys (reference aldi/yolo/distill.py:90-94)
+        "loss_obj": d.HARD_OBJ_ENABLED,
+        "loss_box": d.HARD_ROIH_REG_ENABLED,
     }
     return {
         k: (v if keep.get(k, False) else v * 0.0)

@@ -50,6 +50,11 @@ class TrainState:
     frozen: Any  # non-trainable collections (FrozenBN stats), shared w/ EMA
     opt_state: Any
     ema_params: Any = None  # teacher weights; None when EMA disabled
+    # mutable model collections (e.g. YOLO BatchNorm running stats), updated
+    # by training forwards; the reference carries these as torch buffers and
+    # EMA-blends them like weights (``aldi/ema.py:32-50``)
+    model_state: Any = None
+    ema_model_state: Any = None
 
 
 def create_train_state(cfg, detector, rng) -> tuple:
@@ -57,16 +62,22 @@ def create_train_state(cfg, detector, rng) -> tuple:
     variables = detector.init_variables(rng)
     params = variables["params"]
     frozen = variables.get("frozen", {})
+    model_state = {
+        k: v for k, v in variables.items() if k not in ("params", "frozen")
+    }
     tx = build_optimizer(cfg, params)
     opt_state = tx.init(params)
-    ema_params = jax.tree_util.tree_map(jnp.copy, params) if cfg.EMA.ENABLED else None
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+    use_ema = cfg.EMA.ENABLED
     return (
         TrainState(
             step=jnp.asarray(0, jnp.int32),
             params=params,
             frozen=frozen,
             opt_state=opt_state,
-            ema_params=ema_params,
+            ema_params=copy(params) if use_ema else None,
+            model_state=model_state,
+            ema_model_state=copy(model_state) if use_ema else None,
         ),
         tx,
     )
@@ -114,12 +125,21 @@ def make_train_step(cfg, detector, tx):
 
         # ---- EMA teacher update (before the step, reference before_step)
         ema_params = state.ema_params
+        ema_model_state = state.ema_model_state
         if use_ema:
             ema_params = ema_update(
                 state.ema_params, state.params, cfg.EMA.ALPHA, state.step,
                 cfg.EMA.START_ITER,
             )
+            if state.model_state:
+                ema_model_state = ema_update(
+                    state.ema_model_state, state.model_state, cfg.EMA.ALPHA,
+                    state.step, cfg.EMA.START_ITER,
+                )
         teacher_params = ema_params if use_ema else state.params
+        teacher_state = (
+            ema_model_state if use_ema else state.model_state
+        ) or {}
 
         # ---- stream sizes -> reference-equivalent weights
         n_ls = batch["labeled"]["image"].shape[0] if (do_weak or do_strong) else 0
@@ -131,7 +151,10 @@ def make_train_step(cfg, detector, tx):
         pseudo_gt = None
         teacher_ctx = None
         if do_distill:
-            teacher_vars = {"params": teacher_params, "frozen": state.frozen}
+            teacher_vars = {
+                "params": teacher_params, "frozen": state.frozen,
+                **teacher_state,
+            }
             uw = batch["unlabeled"]
             teacher_ctx, pseudo_gt, t_metrics = detector.forward_teacher_ctx(
                 teacher_vars, uw["image"], uw["sizes"], keys[0],
@@ -157,32 +180,44 @@ def make_train_step(cfg, detector, tx):
             )
 
         def loss_fn(params):
-            variables = {"params": params, "frozen": state.frozen}
+            model_state = state.model_state or {}
             loss_dict = {}
+
+            def variables():
+                return {"params": params, "frozen": state.frozen,
+                        **model_state}
 
             def add(losses, suffix, weight):
                 for k, v in losses.items():
                     loss_dict[f"{k}_{suffix}"] = v * weight
 
+            def absorb(aux):
+                nonlocal model_state
+                mut = (aux or {}).get("mutated_vars")
+                if mut:
+                    model_state = jax.lax.stop_gradient(mut)
+
             if do_weak:
-                losses, _ = detector.forward_train(
-                    variables, batch["labeled"]["image"],
+                losses, aux = detector.forward_train(
+                    variables(), batch["labeled"]["image"],
                     batch["labeled"]["sizes"], _gt_from_batch(batch["labeled"]),
                     keys[3], do_align=do_align, domain_label=1.0,
                 )
+                absorb(aux)
                 add(losses, "source_weak", n_lw / n_eff)
 
             if do_strong:
-                losses, _ = detector.forward_train(
-                    variables, ls_images, batch["labeled"]["sizes"],
+                losses, aux = detector.forward_train(
+                    variables(), ls_images, batch["labeled"]["sizes"],
                     _gt_from_batch(batch["labeled"]), keys[4],
                     do_align=do_align, domain_label=1.0,
                 )
+                absorb(aux)
                 add(losses, "source_strong", n_ls / n_eff)
 
             if do_align:
                 losses = detector.forward_domain_align(
-                    variables, batch["unlabeled"]["image"],
+                    variables(), batch["unlabeled"]["image"],
                     batch["unlabeled"]["sizes"], keys[5], domain_label=0.0,
                 )
                 add(losses, "target_weak", n_uw / n_eff)
@@ -190,13 +225,15 @@ def make_train_step(cfg, detector, tx):
             if do_distill:
                 # student full train pass on pseudo-GT (strong view)
                 std_losses, s_aux = detector.forward_train(
-                    variables, us_images, batch["unlabeled"]["sizes"],
+                    variables(), us_images, batch["unlabeled"]["sizes"],
                     pseudo_gt, keys[6],
                 )
+                absorb(s_aux)
                 dist_losses = dict(gate_hard_losses(std_losses, cfg))
                 if do_soft:
                     teacher_vars = {
-                        "params": teacher_params, "frozen": state.frozen
+                        "params": teacher_params, "frozen": state.frozen,
+                        **teacher_state,
                     }
                     dist_losses.update(
                         detector.distill_losses(teacher_vars, teacher_ctx,
@@ -207,11 +244,11 @@ def make_train_step(cfg, detector, tx):
             total = sum(
                 jnp.asarray(v, jnp.float32) for v in loss_dict.values()
             )
-            return total, loss_dict
+            return total, (loss_dict, model_state)
 
-        (total, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (total, (loss_dict, new_model_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
@@ -223,6 +260,8 @@ def make_train_step(cfg, detector, tx):
             params=new_params,
             opt_state=new_opt_state,
             ema_params=ema_params,
+            model_state=new_model_state,
+            ema_model_state=ema_model_state,
         )
         return new_state, metrics
 

@@ -137,12 +137,12 @@ class ALDITrainer:
     def _eval_variables(self):
         """Evaluate the teacher when EMA is on (reference
         ``aldi/trainer.py:177-180``)."""
-        params = (
-            self.state.ema_params
-            if (self.cfg.EMA.ENABLED and self.state.ema_params is not None)
-            else self.state.params
-        )
-        return {"params": params, "frozen": self.state.frozen}
+        use_ema = self.cfg.EMA.ENABLED and self.state.ema_params is not None
+        params = self.state.ema_params if use_ema else self.state.params
+        extra = (
+            self.state.ema_model_state if use_ema else self.state.model_state
+        ) or {}
+        return {"params": params, "frozen": self.state.frozen, **extra}
 
     def test(self, variables=None):
         variables = variables or self._eval_variables()

@@ -10,9 +10,11 @@ compatibility).
 
 from ..utils.registry import Registry
 from .rcnn import RCNN, RCNNDetector, grad_reverse  # noqa: F401
+from .yolo import YoloDetector  # noqa: F401
 
 META_ARCH_REGISTRY = Registry("META_ARCH")
 META_ARCH_REGISTRY.register(RCNNDetector, name="GeneralizedRCNN")
+META_ARCH_REGISTRY.register(YoloDetector, name="Yolo")
 
 
 def build_detector(cfg):
