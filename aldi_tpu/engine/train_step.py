@@ -229,7 +229,12 @@ def make_train_step(cfg, detector, tx):
                     pseudo_gt, keys[6],
                 )
                 absorb(s_aux)
-                dist_losses = dict(gate_hard_losses(std_losses, cfg))
+                if getattr(detector, "gate_hard", True):
+                    dist_losses = dict(gate_hard_losses(std_losses, cfg))
+                else:
+                    # HardDistiller semantics: standard losses on pseudo-GT
+                    # pass through ungated (reference aldi/distill.py:78-81)
+                    dist_losses = dict(std_losses)
                 if do_soft:
                     teacher_vars = {
                         "params": teacher_params, "frozen": state.frozen,

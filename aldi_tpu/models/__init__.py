@@ -9,12 +9,14 @@ compatibility).
 """
 
 from ..utils.registry import Registry
+from .detr import DETRDetector  # noqa: F401
 from .rcnn import RCNN, RCNNDetector, grad_reverse  # noqa: F401
 from .yolo import YoloDetector  # noqa: F401
 
 META_ARCH_REGISTRY = Registry("META_ARCH")
 META_ARCH_REGISTRY.register(RCNNDetector, name="GeneralizedRCNN")
 META_ARCH_REGISTRY.register(YoloDetector, name="Yolo")
+META_ARCH_REGISTRY.register(DETRDetector, name="DeformableDETR")
 
 
 def build_detector(cfg):

@@ -1,0 +1,563 @@
+"""Deformable DETR: model, Hungarian criterion, DAOD interface.
+
+Substrate equivalent: the reference's ``DeformableDETRDetectron2`` submodule
+(surface in SURVEY.md section 2.5; full hyperparameter set in
+``configs/Base-DETR.yaml:7-39``): R50 + sine position embeddings, 4 feature
+levels, 6+6 transformer with multi-scale deformable attention (4 points,
+8 heads, 300 queries), focal classification, Hungarian matching
+(class 2 / bbox 5 / giou 2), aux losses per decoder layer.
+
+TPU-native notes:
+- MSDeformAttn uses the XLA gather core (ops/ms_deform_attn.py) instead of
+  the reference's mandatory CUDA extension; bf16-safe, so the reference's
+  "AMP disabled for DETR" constraint (``configs/Base-DETR.yaml:56-57``)
+  does not apply here.
+- Matching runs optax's Hungarian algorithm vmapped over the batch on
+  padded [Q, MAX_GT] cost matrices (invalid gt columns get +inf-like cost).
+- DAOD integration: HardDistiller semantics (pseudo-labels only; the
+  student's standard losses on pseudo-GT are the distill signal,
+  reference ``aldi/distill.py:61-84``), EMA excludes ``query_embed``
+  (``aldi/ema.py:17``), per-group LR multipliers are applied in solver.py.
+
+Deliberate divergence: the reference's shipped DETR configs set the *soft*
+distill flags, which its HardDistiller ignores entirely — making
+``distill_enabled()`` False and the unlabeled stream dead weight. Here any
+enabled distill flag activates hard pseudo-label self-training (the paper's
+stated DETR recipe).
+"""
+
+import math
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import compute_dtype, resolve_canvas
+from ..ops import boxes as box_ops
+from ..ops.losses import sigmoid_focal
+from ..ops.ms_deform_attn import ms_deform_attn_core
+from .resnet import ResNet
+
+
+def inverse_sigmoid(x, eps=1e-5):
+    x = jnp.clip(x, eps, 1 - eps)
+    return jnp.log(x / (1 - x))
+
+
+class MSDeformAttn(nn.Module):
+    d_model: int = 256
+    n_heads: int = 8
+    n_levels: int = 4
+    n_points: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, reference_points, value_src, spatial_shapes,
+                 value_mask):
+        """query [B, Lq, C]; reference_points [B, Lq, L, 2] normalized;
+        value_src [B, Lv, C]; value_mask [B, Lv] (True = valid)."""
+        b, lq, _ = query.shape
+        h, L, p = self.n_heads, self.n_levels, self.n_points
+        d = self.d_model // h
+
+        value = nn.Dense(self.d_model, dtype=self.dtype, name="value_proj")(
+            value_src
+        )
+        value = jnp.where(value_mask[..., None], value, 0.0)
+        value = value.reshape(b, -1, h, d)
+
+        # directional grid bias init for sampling offsets (reference op init)
+        def offset_bias_init(key, shape, dtype=jnp.float32):
+            thetas = jnp.arange(h, dtype=jnp.float32) * (2.0 * math.pi / h)
+            grid = jnp.stack([jnp.cos(thetas), jnp.sin(thetas)], -1)  # [h,2]
+            grid = grid / jnp.abs(grid).max(-1, keepdims=True)
+            grid = jnp.tile(grid[:, None, None, :], (1, L, p, 1))
+            scale = jnp.arange(1, p + 1, dtype=jnp.float32)[None, None, :, None]
+            return (grid * scale).reshape(-1).astype(dtype)
+
+        offsets = nn.Dense(
+            h * L * p * 2, dtype=self.dtype,
+            kernel_init=nn.initializers.zeros, bias_init=offset_bias_init,
+            name="sampling_offsets",
+        )(query).reshape(b, lq, h, L, p, 2).astype(jnp.float32)
+        attn = nn.Dense(
+            h * L * p, dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros, name="attention_weights",
+        )(query).reshape(b, lq, h, L * p)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), -1).reshape(
+            b, lq, h, L, p
+        )
+
+        normalizer = jnp.asarray(
+            [[ww, hh] for hh, ww in spatial_shapes], jnp.float32
+        )  # [L, 2] (x, y) order
+        loc = (
+            reference_points[:, :, None, :, None, :]
+            + offsets / normalizer[None, None, None, :, None, :]
+        )
+        out = ms_deform_attn_core(value, spatial_shapes, loc, attn)
+        return nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(
+            out.astype(self.dtype)
+        )
+
+
+class FFN(nn.Module):
+    d_model: int
+    d_ff: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.Dense(self.d_ff, dtype=self.dtype, name="linear1")(x)
+        y = nn.relu(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        y = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        return nn.LayerNorm(dtype=jnp.float32, name="norm")(x + y).astype(
+            self.dtype
+        )
+
+
+class EncoderLayer(nn.Module):
+    d_model: int = 256
+    d_ff: int = 1024
+    n_heads: int = 8
+    n_levels: int = 4
+    n_points: int = 4
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src, pos, reference_points, spatial_shapes, mask,
+                 train=False):
+        q = src + pos
+        attn = MSDeformAttn(
+            self.d_model, self.n_heads, self.n_levels, self.n_points,
+            dtype=self.dtype, name="self_attn",
+        )(q, reference_points, src, spatial_shapes, mask)
+        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+        src = nn.LayerNorm(dtype=jnp.float32, name="norm1")(
+            src + attn
+        ).astype(self.dtype)
+        return FFN(self.d_model, self.d_ff, self.dropout, self.dtype,
+                   name="ffn")(src, train)
+
+
+class DecoderLayer(nn.Module):
+    d_model: int = 256
+    d_ff: int = 1024
+    n_heads: int = 8
+    n_levels: int = 4
+    n_points: int = 4
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, query_pos, reference_points, memory,
+                 spatial_shapes, mask, train=False):
+        # self attention over queries
+        q = tgt + query_pos
+        sa = nn.MultiHeadDotProductAttention(
+            num_heads=self.n_heads, dtype=self.dtype, name="self_attn"
+        )(q, q, tgt)
+        sa = nn.Dropout(self.dropout, deterministic=not train)(sa)
+        tgt = nn.LayerNorm(dtype=jnp.float32, name="norm2")(tgt + sa).astype(
+            self.dtype
+        )
+        # cross attention into the memory
+        ca = MSDeformAttn(
+            self.d_model, self.n_heads, self.n_levels, self.n_points,
+            dtype=self.dtype, name="cross_attn",
+        )(tgt + query_pos, reference_points, memory, spatial_shapes, mask)
+        ca = nn.Dropout(self.dropout, deterministic=not train)(ca)
+        tgt = nn.LayerNorm(dtype=jnp.float32, name="norm1")(tgt + ca).astype(
+            self.dtype
+        )
+        return FFN(self.d_model, self.d_ff, self.dropout, self.dtype,
+                   name="ffn")(tgt, train)
+
+
+class MLP(nn.Module):
+    hidden: int
+    out: int
+    layers: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.layers - 1):
+            x = nn.relu(
+                nn.Dense(self.hidden, dtype=self.dtype, name=f"l{i}")(x)
+            )
+        return nn.Dense(self.out, dtype=self.dtype,
+                        name=f"l{self.layers - 1}")(x)
+
+
+def sine_position_embedding(mask, d_model=256, temperature=10000.0,
+                            scale=2 * math.pi):
+    """mask [B, H, W] True=valid -> [B, H, W, d_model] sine embeddings."""
+    m = mask.astype(jnp.float32)
+    y_embed = jnp.cumsum(m, axis=1)
+    x_embed = jnp.cumsum(m, axis=2)
+    eps = 1e-6
+    y_embed = y_embed / (y_embed[:, -1:, :] + eps) * scale
+    x_embed = x_embed / (x_embed[:, :, -1:] + eps) * scale
+    half = d_model // 2
+    dim_t = jnp.arange(half, dtype=jnp.float32)
+    dim_t = temperature ** (2 * (dim_t // 2) / half)
+    pos_x = x_embed[..., None] / dim_t
+    pos_y = y_embed[..., None] / dim_t
+    pos_x = jnp.stack(
+        [jnp.sin(pos_x[..., 0::2]), jnp.cos(pos_x[..., 1::2])], -1
+    ).reshape(*mask.shape, half)
+    pos_y = jnp.stack(
+        [jnp.sin(pos_y[..., 0::2]), jnp.cos(pos_y[..., 1::2])], -1
+    ).reshape(*mask.shape, half)
+    return jnp.concatenate([pos_y, pos_x], -1)
+
+
+class DeformableDETR(nn.Module):
+    num_classes: int
+    num_queries: int = 300
+    d_model: int = 256
+    d_ff: int = 1024
+    n_heads: int = 8
+    enc_layers: int = 6
+    dec_layers: int = 6
+    n_levels: int = 4
+    n_points: int = 4
+    dropout: float = 0.1
+    freeze_at: int = 2
+    pos_scale: float = 2 * math.pi
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, image_sizes, train: bool = False):
+        """Returns dict with per-decoder-layer class logits and normalized
+        cxcywh boxes: logits [Ld, B, Q, K], boxes [Ld, B, Q, 4]."""
+        b = images.shape[0]
+        feats = ResNet(
+            depth=50, out_features=("res3", "res4", "res5"),
+            freeze_at=self.freeze_at, dtype=self.dtype, name="backbone",
+        )(images)
+        srcs = []
+        for i, k in enumerate(["res3", "res4", "res5"]):
+            x = nn.Conv(self.d_model, (1, 1), dtype=self.dtype,
+                        name=f"input_proj{i}")(feats[k])
+            x = nn.GroupNorm(32, dtype=jnp.float32,
+                             name=f"input_proj{i}_norm")(x).astype(self.dtype)
+            srcs.append(x)
+        # extra stride-64 level from res5
+        x = nn.Conv(self.d_model, (3, 3), (2, 2), padding=[(1, 1), (1, 1)],
+                    dtype=self.dtype, name="input_proj3")(feats["res5"])
+        x = nn.GroupNorm(32, dtype=jnp.float32,
+                         name="input_proj3_norm")(x).astype(self.dtype)
+        srcs.append(x)
+
+        spatial_shapes = [(s.shape[1], s.shape[2]) for s in srcs]
+        strides = [8, 16, 32, 64]
+        level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0),
+            (self.n_levels, self.d_model),
+        )
+
+        # padding masks + per-level flattened src/pos
+        flat_src, flat_pos, flat_mask = [], [], []
+        valid_ratios = []
+        for lvl, (s, (hh, ww), stride) in enumerate(
+            zip(srcs, spatial_shapes, strides)
+        ):
+            rows = jnp.arange(hh)[None, :, None]
+            cols = jnp.arange(ww)[None, None, :]
+            vh = jnp.ceil(image_sizes[:, 0:1] / stride)[..., None]
+            vw = jnp.ceil(image_sizes[:, 1:2] / stride)[..., None]
+            mask = (rows < vh) & (cols < vw)  # [B, H, W]
+            pos = sine_position_embedding(
+                mask, self.d_model, scale=self.pos_scale
+            ).astype(self.dtype)
+            flat_src.append(s.reshape(b, hh * ww, self.d_model))
+            flat_pos.append(
+                pos.reshape(b, hh * ww, self.d_model)
+                + level_embed[lvl].astype(self.dtype)
+            )
+            flat_mask.append(mask.reshape(b, hh * ww))
+            valid_ratios.append(
+                jnp.concatenate(
+                    [vw[..., 0] / ww, vh[..., 0] / hh], -1
+                )  # [B, 2] (x, y)
+            )
+        src = jnp.concatenate(flat_src, 1)
+        pos = jnp.concatenate(flat_pos, 1)
+        mask = jnp.concatenate(flat_mask, 1)
+        valid_ratios = jnp.stack(valid_ratios, 1).astype(jnp.float32)  # [B,L,2]
+
+        # encoder reference points: normalized level grids x valid ratios
+        ref_list = []
+        for (hh, ww) in spatial_shapes:
+            ry = (jnp.arange(hh, dtype=jnp.float32) + 0.5) / hh
+            rx = (jnp.arange(ww, dtype=jnp.float32) + 0.5) / ww
+            gy, gx = jnp.meshgrid(ry, rx, indexing="ij")
+            ref_list.append(jnp.stack([gx, gy], -1).reshape(-1, 2))
+        enc_ref = jnp.concatenate(ref_list, 0)[None]  # [1, Lv, 2]
+        # scale into each level's valid region: [B, Lv, L, 2]
+        enc_ref = enc_ref[:, :, None, :] * valid_ratios[:, None, :, :]
+
+        memory = src
+        for i in range(self.enc_layers):
+            memory = EncoderLayer(
+                self.d_model, self.d_ff, self.n_heads, self.n_levels,
+                self.n_points, self.dropout, self.dtype, name=f"enc{i}",
+            )(memory, pos, enc_ref, spatial_shapes, mask, train)
+
+        # decoder
+        query_embed = self.param(
+            "query_embed", nn.initializers.normal(1.0),
+            (self.num_queries, 2 * self.d_model),
+        ).astype(self.dtype)
+        query_pos, tgt = jnp.split(query_embed, 2, axis=-1)
+        query_pos = jnp.tile(query_pos[None], (b, 1, 1))
+        tgt = jnp.tile(tgt[None], (b, 1, 1))
+        ref = jax.nn.sigmoid(
+            nn.Dense(2, dtype=jnp.float32, name="reference_points")(
+                query_pos.astype(jnp.float32)
+            )
+        )  # [B, Q, 2]
+
+        class_head = nn.Dense(
+            self.num_classes, dtype=self.dtype,
+            bias_init=nn.initializers.constant(-math.log((1 - 0.01) / 0.01)),
+            name="class_embed",
+        )
+        bbox_head = MLP(self.d_model, 4, 3, dtype=self.dtype,
+                        name="bbox_embed")
+
+        logits_per_layer, boxes_per_layer = [], []
+        for i in range(self.dec_layers):
+            dec_ref = ref[:, :, None, :] * valid_ratios[:, None, :, :]
+            tgt = DecoderLayer(
+                self.d_model, self.d_ff, self.n_heads, self.n_levels,
+                self.n_points, self.dropout, self.dtype, name=f"dec{i}",
+            )(tgt, query_pos, dec_ref, memory, spatial_shapes, mask, train)
+            logits_per_layer.append(
+                class_head(tgt).astype(jnp.float32)
+            )
+            delta = bbox_head(tgt).astype(jnp.float32)
+            xy = jax.nn.sigmoid(
+                delta[..., :2] + inverse_sigmoid(ref)
+            )
+            wh = jax.nn.sigmoid(delta[..., 2:])
+            boxes_per_layer.append(jnp.concatenate([xy, wh], -1))
+
+        return {
+            "logits": jnp.stack(logits_per_layer),  # [Ld, B, Q, K]
+            "boxes": jnp.stack(boxes_per_layer),  # [Ld, B, Q, 4] cxcywh norm
+        }
+
+
+# ----------------------------------------------------------------- criterion
+def hungarian_match(
+    logits: jnp.ndarray,  # [B, Q, K]
+    pred_boxes: jnp.ndarray,  # [B, Q, 4] normalized cxcywh
+    gt_boxes: jnp.ndarray,  # [B, G, 4] normalized cxcywh
+    gt_classes: jnp.ndarray,  # [B, G]
+    gt_valid: jnp.ndarray,  # [B, G]
+    cost_class: float = 2.0,
+    cost_bbox: float = 5.0,
+    cost_giou: float = 2.0,
+    focal_alpha: float = 0.25,
+    gamma: float = 2.0,
+):
+    """Per-image Hungarian assignment on padded cost matrices. Returns
+    (query_idx [B, G], pair_valid [B, G])."""
+    from optax import assignment
+
+    def per_image(lg, pb, gb, gc, gv):
+        prob = jax.nn.sigmoid(lg)  # [Q, K]
+        neg = (1 - focal_alpha) * prob ** gamma * (
+            -jnp.log(jnp.clip(1 - prob, 1e-8))
+        )
+        pos = focal_alpha * (1 - prob) ** gamma * (
+            -jnp.log(jnp.clip(prob, 1e-8))
+        )
+        c_cls = (pos - neg)[:, gc]  # [Q, G]
+        c_l1 = jnp.abs(pb[:, None, :] - gb[None, :, :]).sum(-1)
+        c_giou = -box_ops.pairwise_giou(
+            box_ops.cxcywh_to_xyxy(pb), box_ops.cxcywh_to_xyxy(gb)
+        )
+        cost = cost_class * c_cls + cost_bbox * c_l1 + cost_giou * c_giou
+        big = 1e6
+        cost = jnp.where(gv[None, :], cost, big)
+        cost = jnp.nan_to_num(cost, nan=big, posinf=big, neginf=-big)
+        qi, gi = assignment.hungarian_algorithm(cost)  # len G (G <= Q)
+        # qi[k] matched to gt gi[k]; invert to per-gt query index
+        q_for_gt = jnp.zeros(gb.shape[0], jnp.int32).at[gi].set(qi)
+        return q_for_gt, gv
+
+    return jax.vmap(per_image)(logits, pred_boxes, gt_boxes, gt_classes,
+                               gt_valid)
+
+
+def detr_losses_single_layer(
+    logits, pred_boxes, gt_boxes_n, gt_classes, gt_valid,
+    num_classes, focal_alpha, num_boxes,
+):
+    """One decoder layer's losses (SetCriterion labels/boxes)."""
+    q_idx, pair_valid = hungarian_match(
+        logits, pred_boxes, gt_boxes_n, gt_classes, gt_valid,
+        focal_alpha=focal_alpha,
+    )
+    b, q, k = logits.shape
+
+    # classification: one-hot targets at matched queries, focal over all
+    tcls = jnp.zeros((b, q, k), jnp.float32)
+    onehot = jax.nn.one_hot(gt_classes, k) * pair_valid[..., None]
+    tcls = jax.vmap(lambda t, qi, oh: t.at[qi].add(oh))(tcls, q_idx, onehot)
+    tcls = jnp.clip(tcls, 0.0, 1.0)
+    fl = sigmoid_focal(logits.astype(jnp.float32), tcls, focal_alpha, 2.0)
+    # SetCriterion.loss_labels: focal.mean(dim 1).sum() * Q / num_boxes
+    loss_ce = fl.mean(axis=1).sum() * q / jnp.maximum(num_boxes, 1.0)
+
+    # box losses on matched pairs
+    pb = jax.vmap(lambda p, qi: p[qi])(pred_boxes, q_idx)  # [B, G, 4]
+    vf = pair_valid.astype(jnp.float32)
+    l1 = jnp.abs(pb - gt_boxes_n).sum(-1)
+    loss_bbox = (l1 * vf).sum() / jnp.maximum(num_boxes, 1.0)
+    giou = box_ops.pairwise_giou(
+        box_ops.cxcywh_to_xyxy(pb.reshape(-1, 1, 4)),
+        box_ops.cxcywh_to_xyxy(gt_boxes_n.reshape(-1, 1, 4)),
+    ).reshape(pb.shape[:2])
+    loss_giou = ((1.0 - giou) * vf).sum() / jnp.maximum(num_boxes, 1.0)
+    return loss_ce, loss_bbox, loss_giou
+
+
+class DETRDetector:
+    """DAOD-engine interface for Deformable DETR."""
+
+    mutable_collections = ()
+    gate_hard = False  # HardDistiller: standard losses pass through ungated
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.dtype = compute_dtype(cfg)
+        self.canvas = resolve_canvas(cfg)
+        dd = cfg.MODEL.DEFORMABLE_DETR
+        self.num_classes = dd.NUM_CLASSES
+        t = dd.TRANSFORMER
+        self.module = DeformableDETR(
+            num_classes=self.num_classes,
+            num_queries=t.NUM_QUERIES,
+            d_model=t.HIDDEN_DIM,
+            d_ff=t.DIM_FEEDFORWARD,
+            n_heads=t.NHEADS,
+            enc_layers=t.ENC_LAYERS,
+            dec_layers=t.DEC_LAYERS,
+            n_levels=dd.NUM_FEATURE_LEVELS,
+            n_points=t.ENC_N_POINTS,
+            dropout=t.DROPOUT,
+            freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
+            pos_scale=dd.POSITION_EMBEDDING_SCALE,
+            dtype=self.dtype,
+        )
+        self.pixel_mean = jnp.asarray(cfg.MODEL.PIXEL_MEAN, jnp.float32)
+        self.pixel_std = jnp.asarray(cfg.MODEL.PIXEL_STD, jnp.float32)
+        loss_cfg = dd.LOSS
+        self.coef = dict(
+            ce=loss_cfg.CLS_LOSS_COEF, bbox=loss_cfg.BBOX_LOSS_COEF,
+            giou=loss_cfg.GIOU_LOSS_COEF,
+        )
+        self.focal_alpha = loss_cfg.FOCAL_ALPHA
+        self.aux_loss = loss_cfg.AUX_LOSS
+
+    def init_variables(self, rng, batch_size: int = 1):
+        x = jnp.zeros((batch_size, *self.canvas, 3), self.dtype)
+        sizes = jnp.asarray([[self.canvas[0], self.canvas[1]]] * batch_size,
+                            jnp.int32)
+        return self.module.init(rng, x, sizes)
+
+    def preprocess(self, images):
+        x = (images.astype(jnp.float32) - self.pixel_mean) / self.pixel_std
+        return x.astype(self.dtype)
+
+    def _fwd(self, variables, images, image_sizes, train, rng=None):
+        rngs = {"dropout": rng} if (train and rng is not None) else None
+        return self.module.apply(
+            variables, self.preprocess(images), image_sizes, train, rngs=rngs
+        )
+
+    def _normalize_gt(self, gt, image_sizes):
+        wh = jnp.stack(
+            [image_sizes[:, 1], image_sizes[:, 0],
+             image_sizes[:, 1], image_sizes[:, 0]], -1
+        ).astype(jnp.float32)[:, None, :]
+        return box_ops.xyxy_to_cxcywh(gt.boxes / jnp.maximum(wh, 1.0))
+
+    def forward_train(self, variables, images, image_sizes, gt, rng,
+                      do_align=False, domain_label=1.0):
+        out = self._fwd(variables, images, image_sizes, True, rng)
+        gt_n = self._normalize_gt(gt, image_sizes)
+        num_boxes = jnp.maximum(gt.valid.sum().astype(jnp.float32), 1.0)
+        losses = {}
+        n_layers = out["logits"].shape[0]
+        for i in range(n_layers):
+            if i < n_layers - 1 and not self.aux_loss:
+                continue
+            ce, l1, giou = detr_losses_single_layer(
+                out["logits"][i], out["boxes"][i], gt_n, gt.classes,
+                gt.valid, self.num_classes, self.focal_alpha, num_boxes,
+            )
+            suffix = "" if i == n_layers - 1 else f"_{i}"
+            losses[f"loss_ce{suffix}"] = self.coef["ce"] * ce
+            losses[f"loss_bbox{suffix}"] = self.coef["bbox"] * l1
+            losses[f"loss_giou{suffix}"] = self.coef["giou"] * giou
+        aux = {"mutated_vars": {}}
+        return losses, aux
+
+    def forward_domain_align(self, variables, images, image_sizes, rng,
+                             domain_label):
+        # reference DETRAlignMixin is a pass-through (no discriminators,
+        # ``aldi/detr/align.py:6-7``)
+        return {}
+
+    def forward_inference(self, variables, images, image_sizes):
+        out = self._fwd(variables, images, image_sizes, False)
+        logits = out["logits"][-1]  # [B, Q, K]
+        boxes_n = out["boxes"][-1]
+        b, q, k = logits.shape
+        scores_all = jax.nn.sigmoid(logits).reshape(b, q * k)
+        topk = self.cfg.TEST.DETECTIONS_PER_IMAGE
+        scores, idx = jax.lax.top_k(scores_all, topk)
+        q_idx = idx // k
+        classes = (idx % k).astype(jnp.int32)
+        sel = jnp.take_along_axis(boxes_n, q_idx[..., None], axis=1)
+        wh = jnp.stack(
+            [image_sizes[:, 1], image_sizes[:, 0],
+             image_sizes[:, 1], image_sizes[:, 0]], -1
+        ).astype(jnp.float32)[:, None, :]
+        boxes = box_ops.cxcywh_to_xyxy(sel) * wh
+        boxes = box_ops.clip_boxes(
+            boxes, (image_sizes[:, 0, None], image_sizes[:, 1, None])
+        )
+        valid = jnp.ones_like(scores, bool)
+        return boxes, scores, classes, valid
+
+    def forward_teacher_ctx(self, variables, images, image_sizes, rng,
+                            threshold, max_gt):
+        from ..engine.pseudolabel import detections_to_pseudo_labels
+
+        dets = self.forward_inference(variables, images, image_sizes)
+        pseudo_gt = detections_to_pseudo_labels(
+            *dets, threshold=threshold, max_gt=max_gt
+        )
+        metrics = {
+            "num_pseudo_labels": pseudo_gt.valid.sum()
+            / jnp.maximum(images.shape[0], 1)
+        }
+        return {}, pseudo_gt, metrics
+
+    def distill_losses(self, teacher_variables, ctx, s_aux):
+        # HardDistiller: the hard pseudo-label losses from the student's
+        # standard forward ARE the distillation signal; no soft terms.
+        return {}

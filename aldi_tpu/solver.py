@@ -24,8 +24,16 @@ def scale_updates_by_tree(mults) -> "optax.GradientTransformation":
 
     def update(updates, state, params=None):
         del params
+
+        # inside optax.masked, frozen leaves are MaskedNode placeholders
+        def is_masked(x):
+            return type(x).__name__ == "MaskedNode"
+
+        def mul(u, m):
+            return u if is_masked(u) else u * m
+
         return (
-            jax.tree_util.tree_map(lambda u, m: u * m, updates, mults),
+            jax.tree_util.tree_map(mul, updates, mults, is_leaf=is_masked),
             state,
         )
 
@@ -171,6 +179,27 @@ def build_optimizer(cfg, params) -> optax.GradientTransformation:
             chain.append(
                 scale_updates_by_tree(
                     _vit_lr_decay_multipliers(params, 12, 0.7)
+                )
+            )
+        # DETR per-group LR multipliers (reference
+        # configs/Base-DETR.yaml:62-70): backbone x0.1,
+        # sampling_offsets/reference_points x0.1
+        if cfg.MODEL.META_ARCHITECTURE == "DeformableDETR":
+            bb_mult = cfg.SOLVER.BACKBONE_LR_MULTIPLIER
+            proj_mult = cfg.SOLVER.LR_LINEAR_PROJ_MULTIPLIER
+            proj_names = tuple(cfg.SOLVER.LR_LINEAR_PROJ_NAMES)
+
+            def detr_mult(path, _):
+                keys = [getattr(k, "key", "") for k in path]
+                if keys and keys[0] == "backbone":
+                    return bb_mult
+                if any(k in proj_names for k in keys):
+                    return proj_mult
+                return 1.0
+
+            chain.append(
+                scale_updates_by_tree(
+                    jax.tree_util.tree_map_with_path(detr_mult, params)
                 )
             )
     else:

@@ -1,0 +1,136 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aldi_tpu.config import get_cfg
+from aldi_tpu.engine import create_train_state, make_train_step
+from aldi_tpu.models import build_detector
+from tests.test_rcnn_forward import tiny_batch
+
+
+def detr_cfg(**overrides):
+    cfg = get_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "DeformableDETR"
+    cfg.MODEL.PIXEL_MEAN = [123.675, 116.280, 103.530]
+    cfg.MODEL.PIXEL_STD = [58.395, 57.120, 57.375]
+    dd = cfg.MODEL.DEFORMABLE_DETR
+    dd.NUM_CLASSES = 3
+    dd.TRANSFORMER.ENC_LAYERS = 2
+    dd.TRANSFORMER.DEC_LAYERS = 2
+    dd.TRANSFORMER.NUM_QUERIES = 20
+    dd.TRANSFORMER.HIDDEN_DIM = 64
+    dd.TRANSFORMER.DIM_FEEDFORWARD = 128
+    dd.TRANSFORMER.NHEADS = 4
+    cfg.MODEL.RESNETS.DEPTH = 26
+    cfg.TPU.CANVAS = (128, 128)
+    cfg.TPU.MAX_GT = 8
+    cfg.TEST.DETECTIONS_PER_IMAGE = 10
+    cfg.SOLVER.OPTIMIZER = "ADAMW"
+    cfg.SOLVER.BASE_LR = 1e-4
+    cfg.SOLVER.WARMUP_ITERS = 0
+    for k, v in overrides.items():
+        node = cfg
+        parts = k.split(".")
+        for p in parts[:-1]:
+            node = node[p]
+        node[parts[-1]] = v
+    return cfg
+
+
+def test_ms_deform_attn_core_uniform_field():
+    # constant value field -> any sampling location returns the constant
+    from aldi_tpu.ops.ms_deform_attn import ms_deform_attn_core
+
+    b, h, d = 1, 2, 4
+    shapes = [(8, 8), (4, 4)]
+    lv = sum(a * c for a, c in shapes)
+    value = jnp.ones((b, lv, h, d)) * jnp.asarray([1.0, 2.0])[None, None, :,
+                                                              None]
+    lq, L, P = 5, 2, 3
+    key = jax.random.PRNGKey(0)
+    loc = jax.random.uniform(key, (b, lq, h, L, P, 2), minval=0.2, maxval=0.8)
+    w = jax.nn.softmax(jax.random.normal(key, (b, lq, h, L, P)).reshape(
+        b, lq, h, L * P), -1).reshape(b, lq, h, L, P)
+    out = ms_deform_attn_core(value, shapes, loc, w)
+    out = out.reshape(b, lq, h, d)
+    np.testing.assert_allclose(np.asarray(out[..., 0, :]), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[..., 1, :]), 2.0, atol=1e-5)
+
+
+def test_ms_deform_attn_zero_pad_outside():
+    from aldi_tpu.ops.ms_deform_attn import ms_deform_attn_core
+
+    value = jnp.ones((1, 16, 1, 2))
+    loc = jnp.full((1, 1, 1, 1, 1, 2), 3.0)  # far outside
+    w = jnp.ones((1, 1, 1, 1, 1))
+    out = ms_deform_attn_core(value, [(4, 4)], loc, w)
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_hungarian_match_prefers_right_queries():
+    from aldi_tpu.models.detr import hungarian_match
+
+    # 4 queries, 2 gt; query 2 matches gt0 box exactly, query 0 matches gt1
+    pred = jnp.asarray([[[0.7, 0.7, 0.2, 0.2],
+                         [0.1, 0.1, 0.05, 0.05],
+                         [0.3, 0.3, 0.2, 0.2],
+                         [0.9, 0.9, 0.1, 0.1]]])
+    gt = jnp.asarray([[[0.3, 0.3, 0.2, 0.2], [0.7, 0.7, 0.2, 0.2]]])
+    logits = jnp.zeros((1, 4, 3))
+    classes = jnp.asarray([[0, 1]])
+    valid = jnp.asarray([[True, True]])
+    q_idx, pv = hungarian_match(logits, pred, gt, classes, valid)
+    np.testing.assert_array_equal(np.asarray(q_idx[0]), [2, 0])
+
+
+def test_detr_forward_train_and_inference():
+    cfg = detr_cfg()
+    cfg.freeze()
+    det = build_detector(cfg)
+    variables = jax.jit(det.init_variables)(jax.random.PRNGKey(0))
+    images, sizes, gt = tiny_batch()
+    losses, aux = jax.jit(
+        lambda v, im, sz, g, r: det.forward_train(v, im, sz, g, r)
+    )(variables, images, sizes, gt, jax.random.PRNGKey(1))
+    for k in ("loss_ce", "loss_bbox", "loss_giou", "loss_ce_0"):
+        assert k in losses and np.isfinite(float(losses[k])), k
+    boxes, scores, classes, valid = jax.jit(det.forward_inference)(
+        variables, images, sizes
+    )
+    assert boxes.shape == (2, 10, 4)
+    assert float(scores.min()) >= 0
+
+
+def test_detr_daod_step_hard_distill():
+    cfg = detr_cfg(**{
+        "DATASETS.BATCH_CONTENTS": ("labeled_strong", "unlabeled_strong"),
+        "DATASETS.BATCH_RATIOS": (1, 1),
+        "DATASETS.UNLABELED": ("fake",),
+        "EMA.ENABLED": True,
+        "DOMAIN_ADAPT.TEACHER.THRESHOLD": 0.0,
+        "DOMAIN_ADAPT.DISTILL.ROIH_CLS_ENABLED": True,
+        "DOMAIN_ADAPT.DISTILL.OBJ_ENABLED": True,
+        "SOLVER.CLIP_GRADIENTS.ENABLED": True,
+        "SOLVER.CLIP_GRADIENTS.CLIP_TYPE": "norm",
+        "SOLVER.CLIP_GRADIENTS.CLIP_VALUE": 0.1,
+    })
+    cfg.freeze()
+    det = build_detector(cfg)
+    state, tx = create_train_state(cfg, det, jax.random.PRNGKey(0))
+    step_fn = make_train_step(cfg, det, tx)
+    from tests.test_train_step import make_batch
+
+    batch = make_batch(with_unlabeled=True)
+    pre_qe = np.asarray(state.params["query_embed"])
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(3))
+    # hard distill: the standard DETR losses appear under _distill, ungated
+    assert "loss_ce_distill" in metrics
+    assert float(metrics["loss_ce_distill"]) > 0.0
+    assert np.isfinite(float(metrics["total_loss"]))
+    # EMA excludes query_embed: copied from the pre-update student (the EMA
+    # update runs before the optimizer step, reference before_step timing),
+    # not blended
+    np.testing.assert_array_equal(
+        np.asarray(state.ema_params["query_embed"]), pre_qe
+    )
