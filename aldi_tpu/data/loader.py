@@ -68,6 +68,11 @@ class StreamLoader:
             sampling=cfg.INPUT.MIN_SIZE_TRAIN_SAMPLING,
             max_gt=cfg.TPU.MAX_GT,
             bgr=cfg.INPUT.FORMAT.upper() == "BGR",
+            crop={
+                "enabled": cfg.INPUT.CROP.ENABLED,
+                "type": cfg.INPUT.CROP.TYPE,
+                "size": list(cfg.INPUT.CROP.SIZE),
+            },
             is_train=is_train,
         )
         self._pool = ThreadPoolExecutor(max_workers=num_threads)

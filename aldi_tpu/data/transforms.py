@@ -30,6 +30,45 @@ def resize_shortest_edge(
     return img.resize((nw, nh), Image.BILINEAR), scale
 
 
+def _random_crop(img, anns, rng, crop_type: str, crop_size):
+    """Substrate RandomCrop (inserted before resize, reference
+    ``aldi/aug.py:22-23``): relative_range or absolute_range crops; boxes
+    are shifted/clipped into the crop and empty ones dropped."""
+    w, h = img.size
+    if crop_type == "relative_range":
+        rh = crop_size[0] + rng.random() * (1.0 - crop_size[0])
+        rw = crop_size[1] + rng.random() * (1.0 - crop_size[1])
+        ch, cw = int(h * rh + 0.5), int(w * rw + 0.5)
+    elif crop_type == "relative":
+        ch, cw = int(h * crop_size[0] + 0.5), int(w * crop_size[1] + 0.5)
+    elif crop_type == "absolute":
+        ch, cw = min(int(crop_size[0]), h), min(int(crop_size[1]), w)
+    elif crop_type == "absolute_range":
+        lo = min(int(crop_size[0]), h)
+        hi = min(int(crop_size[1]), h)
+        ch = int(rng.integers(lo, hi + 1))
+        lo = min(int(crop_size[0]), w)
+        hi = min(int(crop_size[1]), w)
+        cw = int(rng.integers(lo, hi + 1))
+    else:
+        raise ValueError(f"unknown crop type {crop_type}")
+    y0 = int(rng.integers(0, h - ch + 1))
+    x0 = int(rng.integers(0, w - cw + 1))
+    img = img.crop((x0, y0, x0 + cw, y0 + ch))
+    out = []
+    for a in anns:
+        bx, by, bw, bh = a["bbox"]
+        nx0 = max(bx - x0, 0.0)
+        ny0 = max(by - y0, 0.0)
+        nx1 = min(bx + bw - x0, cw)
+        ny1 = min(by + bh - y0, ch)
+        if nx1 - nx0 > 1 and ny1 - ny0 > 1:
+            out.append(
+                dict(a, bbox=[nx0, ny0, nx1 - nx0, ny1 - ny0])
+            )
+    return img, (x0, y0), out
+
+
 def transform_record(
     record: dict,
     rng: np.random.Generator,
@@ -51,6 +90,13 @@ def transform_record(
     img = Image.open(record["file_name"])
     img = img.convert("RGB")
 
+    anns_src = [a for a in record.get("annotations", []) if not a["iscrowd"]]
+    crop_xy = (0.0, 0.0)
+    if is_train and crop and crop.get("enabled"):
+        img, crop_xy, anns_src = _random_crop(
+            img, anns_src, rng, crop["type"], crop["size"]
+        )
+
     if is_train and sampling == "range" and len(min_sizes) == 2:
         short = int(rng.integers(min_sizes[0], min_sizes[1] + 1))
     elif is_train:
@@ -61,11 +107,10 @@ def transform_record(
     w, h = img.size
 
     # boxes: XYWH -> XYXY, scaled
-    anns = [a for a in record.get("annotations", []) if not a["iscrowd"]]
     boxes = np.zeros((max_gt, 4), np.float32)
     classes = np.zeros((max_gt,), np.int32)
     valid = np.zeros((max_gt,), bool)
-    for i, a in enumerate(anns[:max_gt]):
+    for i, a in enumerate(anns_src[:max_gt]):
         x, y, bw, bh = a["bbox"]
         boxes[i] = [x * scale, y * scale, (x + bw) * scale, (y + bh) * scale]
         classes[i] = a["category_id"]
