@@ -1,0 +1,102 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aldi_tpu.engine.checkpoint_convert import (
+    _convert_array,
+    _torch_name_for,
+    torch_state_dict_to_tree,
+)
+from aldi_tpu.models import build_detector
+from tests.test_rcnn_forward import tiny_cfg
+from flax.traverse_util import flatten_dict
+
+
+@pytest.fixture(scope="module")
+def variables():
+    det = build_detector(tiny_cfg())
+    return jax.jit(det.init_variables)(jax.random.PRNGKey(0))
+
+
+def _fake_torch_sd(params, frozen):
+    """Build a D2-named state dict covering our tree, each tensor filled
+    with a unique constant."""
+    import torch
+
+    sd = {}
+    const = {}
+    i = 0
+    for tree, coll in ((params, "params"), (frozen, "frozen")):
+        for path, v in flatten_dict(tree).items():
+            name = _torch_name_for(path, coll)
+            if name is None:
+                continue
+            arr = np.asarray(v)
+            i += 1
+            c = float(i)
+            if path[-1] == "kernel" and arr.ndim == 4:
+                t = np.full(
+                    (arr.shape[3], arr.shape[2], arr.shape[0], arr.shape[1]),
+                    c, np.float32,
+                )  # OIHW
+            elif path[-1] == "kernel" and arr.ndim == 2:
+                t = np.full((arr.shape[1], arr.shape[0]), c, np.float32)
+            else:
+                t = np.full(arr.shape, c, np.float32)
+            sd[name] = torch.from_numpy(t)
+            const["/".join(path)] = c
+    return sd, const
+
+
+def test_roundtrip_all_rcnn_params_covered(variables):
+    params = jax.device_get(variables["params"])
+    frozen = jax.device_get(variables["frozen"])
+    sd, const = _fake_torch_sd(params, frozen)
+    new_params, new_frozen = torch_state_dict_to_tree(sd, params, frozen)
+    missing = []
+    for tree in (new_params, new_frozen):
+        for path, v in flatten_dict(tree).items():
+            key = "/".join(path)
+            if key not in const:
+                missing.append(key)
+                continue
+            np.testing.assert_allclose(
+                np.asarray(v), const[key],
+                err_msg=key,
+            )
+    # every parameter of the plain R-CNN maps to a substrate name
+    assert not missing, missing
+
+
+def test_fc1_layout_permutation():
+    """fc1 consumes flattened pooled features: torch (C-major) vs ours
+    (channel-last). A spatially-varying torch weight must land so that
+    equal inputs produce equal outputs."""
+    c, out = 4, 3
+    # torch weight [out, C*7*7] with value = channel index
+    w_t = np.zeros((out, c * 49), np.float32)
+    for ch in range(c):
+        w_t[:, ch * 49 : (ch + 1) * 49] = ch
+    target = np.zeros((49 * c, out), np.float32)
+    got = _convert_array(w_t, target, ("box_head", "fc1", "kernel"))
+    # ours flattens [7,7,C]: kernel row index y*7C + x*C + ch -> value ch
+    got = got.reshape(7, 7, c, out)
+    for ch in range(c):
+        np.testing.assert_allclose(got[:, :, ch], ch)
+
+
+def test_shape_mismatch_skipped(variables):
+    import torch
+
+    params = jax.device_get(variables["params"])
+    frozen = jax.device_get(variables["frozen"])
+    sd = {
+        "roi_heads.box_predictor.cls_score.weight":
+            torch.zeros(99, 10),  # wrong shape
+    }
+    new_params, _ = torch_state_dict_to_tree(sd, params, frozen)
+    np.testing.assert_allclose(
+        np.asarray(new_params["box_predictor"]["cls_score"]["kernel"]),
+        np.asarray(params["box_predictor"]["cls_score"]["kernel"]),
+    )
