@@ -16,6 +16,11 @@ from typing import List, Tuple
 import numpy as np
 from PIL import Image
 
+try:  # native decode+resize+pad core (see native/aldi_native.cpp)
+    import aldi_native as _native
+except ImportError:  # pragma: no cover - PIL fallback always available
+    _native = None
+
 
 def resize_shortest_edge(
     img: Image.Image, short: int, max_size: int
@@ -28,6 +33,27 @@ def resize_shortest_edge(
         scale = max_size / max(h, w)
     nw, nh = int(w * scale + 0.5), int(h * scale + 0.5)
     return img.resize((nw, nh), Image.BILINEAR), scale
+
+
+def _boxes_to_arrays(anns, scale, max_gt, do_flip, out_w, out_h):
+    """XYWH annotations -> padded XYXY arrays in resized-image coords."""
+    boxes = np.zeros((max_gt, 4), np.float32)
+    classes = np.zeros((max_gt,), np.int32)
+    valid = np.zeros((max_gt,), bool)
+    for i, a in enumerate(anns[:max_gt]):
+        x, y, bw, bh = a["bbox"]
+        boxes[i] = [x * scale, y * scale, (x + bw) * scale, (y + bh) * scale]
+        classes[i] = a["category_id"]
+        valid[i] = True
+    if do_flip:
+        x0 = boxes[:, 0].copy()
+        boxes[:, 0] = out_w - boxes[:, 2]
+        boxes[:, 2] = out_w - x0
+    np.clip(boxes[:, [0, 2]], 0, out_w, out=boxes[:, [0, 2]])
+    np.clip(boxes[:, [1, 3]], 0, out_h, out=boxes[:, [1, 3]])
+    keep = (boxes[:, 2] - boxes[:, 0] > 0.5) & (boxes[:, 3] - boxes[:, 1] > 0.5)
+    valid &= keep
+    return boxes, classes, valid
 
 
 def _random_crop(img, anns, rng, crop_type: str, crop_size):
@@ -87,15 +113,8 @@ def transform_record(
     Returns {image uint8 [H,W,3], sizes [2], boxes [G,4], classes [G],
     valid [G], image_id, scale}.
     """
-    img = Image.open(record["file_name"])
-    img = img.convert("RGB")
-
     anns_src = [a for a in record.get("annotations", []) if not a["iscrowd"]]
-    crop_xy = (0.0, 0.0)
-    if is_train and crop and crop.get("enabled"):
-        img, crop_xy, anns_src = _random_crop(
-            img, anns_src, rng, crop["type"], crop["size"]
-        )
+    do_crop = bool(is_train and crop and crop.get("enabled"))
 
     if is_train and sampling == "range" and len(min_sizes) == 2:
         short = int(rng.integers(min_sizes[0], min_sizes[1] + 1))
@@ -103,31 +122,46 @@ def transform_record(
         short = int(min_sizes[rng.integers(len(min_sizes))])
     else:
         short = int(min_sizes[0])
+    do_flip = bool(is_train and flip and rng.random() < 0.5)
+
+    ch, cw = canvas
+    if _native is not None and not do_crop:
+        # fused native path: decode + resize + flip + channel swap + pad,
+        # GIL released (native/aldi_native.cpp)
+        out_img, h, w, scale = _native.load_resize_pad(
+            record["file_name"], short, int(max_size), ch, cw, bgr, do_flip
+        )
+        boxes, classes, valid = _boxes_to_arrays(
+            anns_src, scale, max_gt, do_flip, w, h
+        )
+        return {
+            "image": out_img,
+            "sizes": np.asarray([h, w], np.int32),
+            "boxes": boxes,
+            "classes": classes,
+            "valid": valid,
+            "image_id": record["image_id"],
+            "scale": scale,
+        }
+
+    img = Image.open(record["file_name"])
+    img = img.convert("RGB")
+    if do_crop:
+        img, _, anns_src = _random_crop(
+            img, anns_src, rng, crop["type"], crop["size"]
+        )
     img, scale = resize_shortest_edge(img, short, max_size)
     w, h = img.size
 
-    # boxes: XYWH -> XYXY, scaled
-    boxes = np.zeros((max_gt, 4), np.float32)
-    classes = np.zeros((max_gt,), np.int32)
-    valid = np.zeros((max_gt,), bool)
-    for i, a in enumerate(anns_src[:max_gt]):
-        x, y, bw, bh = a["bbox"]
-        boxes[i] = [x * scale, y * scale, (x + bw) * scale, (y + bh) * scale]
-        classes[i] = a["category_id"]
-        valid[i] = True
-
-    do_flip = bool(is_train and flip and rng.random() < 0.5)
+    boxes, classes, valid = _boxes_to_arrays(
+        anns_src, scale, max_gt, do_flip, w, h
+    )
     arr = np.asarray(img, np.uint8)
     if do_flip:
         arr = arr[:, ::-1]
-        x0 = boxes[:, 0].copy()
-        boxes[:, 0] = w - boxes[:, 2]
-        boxes[:, 2] = w - x0
-
     if bgr:
         arr = arr[:, :, ::-1]
 
-    ch, cw = canvas
     if h > ch or w > cw:  # safety: canvas should already cover max resize
         arr = arr[:ch, :cw]
         h, w = min(h, ch), min(w, cw)
@@ -135,10 +169,6 @@ def transform_record(
         np.clip(boxes[:, [1, 3]], 0, h, out=boxes[:, [1, 3]])
     out_img = np.zeros((ch, cw, 3), np.uint8)
     out_img[:h, :w] = arr
-
-    # drop boxes that became degenerate
-    keep = (boxes[:, 2] - boxes[:, 0] > 0.5) & (boxes[:, 3] - boxes[:, 1] > 0.5)
-    valid &= keep
 
     return {
         "image": out_img,

@@ -20,6 +20,10 @@ import json
 import os
 import time
 
+# persistent compile cache: repeated bench runs skip the ~20 min XLA compile
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
+
 import numpy as np
 
 ASSUMED_BASELINE_IMG_PER_S_PER_CHIP = 5.0
