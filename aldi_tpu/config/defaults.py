@@ -321,6 +321,10 @@ def get_default_cfg() -> CN:
     _C.TPU.COMPUTE_DTYPE = ""
     # Device mesh axis sizes; data-parallel only by default. 0 = all devices.
     _C.TPU.MESH_DATA = 0
+    # Gradient accumulation microbatches per step (lax.scan); the TPU
+    # equivalent of the reference's SOLVER.IMS_PER_GPU chunking. Every
+    # stream's per-step batch must divide evenly.
+    _C.TPU.GRAD_ACCUM = 1
     # Host data pipeline worker threads
     _C.TPU.DATA_THREADS = 8
     # Prefetch depth (batches) from host to device

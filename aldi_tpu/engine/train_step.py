@@ -179,9 +179,11 @@ def make_train_step(cfg, detector, tx):
                 mic_ratio=mic_ratio, mic_block_size=mic_block,
             )
 
-        def loss_fn(params):
-            model_state = state.model_state or {}
+        # ---- per-microbatch loss; `micro` carries every chunked input
+        def loss_fn(params, micro, model_state_in):
+            model_state = model_state_in or {}
             loss_dict = {}
+            mkeys = micro["keys"]
 
             def variables():
                 return {"params": params, "frozen": state.frozen,
@@ -199,17 +201,17 @@ def make_train_step(cfg, detector, tx):
 
             if do_weak:
                 losses, aux = detector.forward_train(
-                    variables(), batch["labeled"]["image"],
-                    batch["labeled"]["sizes"], _gt_from_batch(batch["labeled"]),
-                    keys[3], do_align=do_align, domain_label=1.0,
+                    variables(), micro["lab"]["image"], micro["lab"]["sizes"],
+                    _gt_from_batch(micro["lab"]),
+                    mkeys[0], do_align=do_align, domain_label=1.0,
                 )
                 absorb(aux)
                 add(losses, "source_weak", n_lw / n_eff)
 
             if do_strong:
                 losses, aux = detector.forward_train(
-                    variables(), ls_images, batch["labeled"]["sizes"],
-                    _gt_from_batch(batch["labeled"]), keys[4],
+                    variables(), micro["ls_images"], micro["lab"]["sizes"],
+                    _gt_from_batch(micro["lab"]), mkeys[1],
                     do_align=do_align, domain_label=1.0,
                 )
                 absorb(aux)
@@ -217,16 +219,16 @@ def make_train_step(cfg, detector, tx):
 
             if do_align:
                 losses = detector.forward_domain_align(
-                    variables(), batch["unlabeled"]["image"],
-                    batch["unlabeled"]["sizes"], keys[5], domain_label=0.0,
+                    variables(), micro["uw"]["image"], micro["uw"]["sizes"],
+                    mkeys[2], domain_label=0.0,
                 )
                 add(losses, "target_weak", n_uw / n_eff)
 
             if do_distill:
                 # student full train pass on pseudo-GT (strong view)
                 std_losses, s_aux = detector.forward_train(
-                    variables(), us_images, batch["unlabeled"]["sizes"],
-                    pseudo_gt, keys[6],
+                    variables(), micro["us_images"], micro["uw"]["sizes"],
+                    micro["pseudo"], mkeys[3],
                 )
                 absorb(s_aux)
                 if getattr(detector, "gate_hard", True):
@@ -241,7 +243,7 @@ def make_train_step(cfg, detector, tx):
                         **teacher_state,
                     }
                     dist_losses.update(
-                        detector.distill_losses(teacher_vars, teacher_ctx,
+                        detector.distill_losses(teacher_vars, micro["ctx"],
                                                 s_aux)
                     )
                 add(dist_losses, "distill", n_uw / n_eff)
@@ -251,9 +253,63 @@ def make_train_step(cfg, detector, tx):
             )
             return total, (loss_dict, model_state)
 
-        (total, (loss_dict, new_model_state)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        micro_full = {
+            "lab": batch["labeled"] if (do_weak or do_strong) else None,
+            "ls_images": ls_images,
+            "us_images": us_images,
+            "uw": batch["unlabeled"] if (do_align or do_distill) else None,
+            "pseudo": pseudo_gt,
+            "ctx": teacher_ctx,
+            "keys": jnp.stack([keys[3], keys[4], keys[5], keys[6]]),
+        }
+
+        accum = max(int(cfg.TPU.GRAD_ACCUM), 1)
+        if accum == 1:
+            (total, (loss_dict, new_model_state)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, micro_full, state.model_state)
+        else:
+            # reference gradient accumulation (SOLVER.IMS_PER_GPU chunks,
+            # ``aldi/trainer.py:86-97``) as a lax.scan over microbatches:
+            # each stream splits into `accum` equal chunks; grads and losses
+            # average over chunks (the same math as the reference's
+            # divide-by-num-accum-steps).
+            def chunked(x):
+                if x is None or not hasattr(x, "ndim") or x.ndim == 0:
+                    return x
+                b = x.shape[0]
+                assert b % accum == 0, (
+                    f"batch dim {b} not divisible by TPU.GRAD_ACCUM={accum}"
+                )
+                return x.reshape((accum, b // accum) + x.shape[1:])
+
+            micro_full.pop("keys")
+            micro_chunks = jax.tree_util.tree_map(chunked, micro_full)
+            micro_chunks["keys"] = jax.vmap(
+                lambda i: jax.random.split(jax.random.fold_in(keys[7], i), 4)
+            )(jnp.arange(accum))
+
+            zero_grads = jax.tree_util.tree_map(
+                jnp.zeros_like, state.params
+            )
+
+            def body(carry, chunk):
+                grads_acc, ms = carry
+                (tot, (ld, new_ms)), g = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params, chunk, ms)
+                grads_acc = jax.tree_util.tree_map(
+                    lambda a, b_: a + b_ / accum, grads_acc, g
+                )
+                return (grads_acc, new_ms), (tot, ld)
+
+            (grads, new_model_state), (totals, loss_dicts) = jax.lax.scan(
+                body, (zero_grads, state.model_state), micro_chunks
+            )
+            total = totals.mean()
+            loss_dict = jax.tree_util.tree_map(
+                lambda v: v.mean(), loss_dicts
+            )
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 

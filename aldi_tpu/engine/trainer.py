@@ -41,11 +41,59 @@ def _stream_sizes(cfg):
     return [int(total * r / sum(ratios)) for r in ratios]
 
 
+def auto_scale_workers(cfg, world_size: int):
+    """Substrate ``DefaultTrainer.auto_scale_workers`` (consumed at reference
+    ``aldi/dropin.py:46``): when SOLVER.REFERENCE_WORLD_SIZE is set, rescale
+    batch size, LR, schedule, and eval/checkpoint periods to the actual world
+    size. Returns a new cfg."""
+    old = cfg.SOLVER.REFERENCE_WORLD_SIZE
+    if old == 0 or old == world_size:
+        return cfg
+    cfg = cfg.clone()
+    scale = world_size / old
+    cfg.SOLVER.IMS_PER_BATCH = int(round(cfg.SOLVER.IMS_PER_BATCH * scale))
+    cfg.SOLVER.BASE_LR = cfg.SOLVER.BASE_LR * scale
+    cfg.SOLVER.MAX_ITER = int(round(cfg.SOLVER.MAX_ITER / scale))
+    cfg.SOLVER.WARMUP_ITERS = int(round(cfg.SOLVER.WARMUP_ITERS / scale))
+    cfg.SOLVER.STEPS = tuple(int(round(s / scale)) for s in cfg.SOLVER.STEPS)
+    cfg.TEST.EVAL_PERIOD = int(round(cfg.TEST.EVAL_PERIOD / scale))
+    cfg.SOLVER.CHECKPOINT_PERIOD = int(
+        round(cfg.SOLVER.CHECKPOINT_PERIOD / scale)
+    )
+    cfg.SOLVER.REFERENCE_WORLD_SIZE = world_size
+    return cfg
+
+
+def maybe_init_distributed(logger=None):
+    """Initialize jax.distributed on multi-host TPU pods (replaces the
+    reference's process-spawning ``launch``, ``tools/train_net.py:90-98``).
+    No-op on a single host."""
+    import jax
+
+    if os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get(
+        "MEGASCALE_COORDINATOR_ADDRESS"
+    ):
+        try:
+            jax.distributed.initialize()
+            if logger:
+                logger.info(
+                    f"jax.distributed: process {jax.process_index()} of "
+                    f"{jax.process_count()}"
+                )
+        except Exception as e:  # already initialized / single host
+            if logger:
+                logger.info(f"jax.distributed.initialize skipped: {e}")
+
+
 class ALDITrainer:
     def __init__(self, cfg):
-        cfg = cfg.clone() if not cfg.is_frozen() else cfg
-        self.cfg = cfg
         self.logger = setup_logger(cfg.OUTPUT_DIR)
+        maybe_init_distributed(self.logger)
+        # the reference's "world size" = #GPUs; ours = #chips
+        cfg = auto_scale_workers(cfg, len(jax.devices()))
+        if not cfg.is_frozen():
+            cfg.freeze()
+        self.cfg = cfg
         self.detector = build_detector(cfg)
 
         seed = cfg.SEED if cfg.SEED >= 0 else 42
@@ -105,13 +153,21 @@ class ALDITrainer:
             if self.mesh is not None:
                 batch = shard_batch(batch, self.mesh)
             step_key = jax.random.fold_in(self.train_key, it)
+            step_t0 = time.time()
             self.state, metrics = self.step_fn(self.state, batch, step_key)
+
+            if cfg.VIS_PERIOD and (it + 1) % cfg.VIS_PERIOD == 0:
+                self._visualize(batch, it + 1)
 
             self.storage.iter = it + 1
             if (it + 1) % WRITE_PERIOD == 0 or it == start:
                 host_metrics = {
                     k: float(v) for k, v in jax.device_get(metrics).items()
                 }
+                step_time = time.time() - step_t0
+                host_metrics["images_per_sec"] = (
+                    cfg.SOLVER.IMS_PER_BATCH / max(step_time, 1e-9)
+                )
                 host_metrics["data_time"] = data_time
                 self.storage.put_scalars(**host_metrics)
                 for w in self.writers:
@@ -132,6 +188,30 @@ class ALDITrainer:
         if cfg.TEST.EVAL_PERIOD:
             return self._eval_and_track_best()
         return {}
+
+    def _visualize(self, batch, it):
+        """VIS_PERIOD training-batch visualization (substrate writes these
+        to TensorBoard; here PNGs with GT boxes under OUTPUT_DIR/vis)."""
+        try:
+            from PIL import Image, ImageDraw
+
+            out_dir = os.path.join(self.cfg.OUTPUT_DIR, "vis")
+            os.makedirs(out_dir, exist_ok=True)
+            lab = jax.device_get(batch["labeled"])
+            bgr = self.cfg.INPUT.FORMAT.upper() == "BGR"
+            for i in range(min(2, lab["image"].shape[0])):
+                arr = np.asarray(lab["image"][i], np.uint8)
+                if bgr:
+                    arr = arr[:, :, ::-1]
+                img = Image.fromarray(arr)
+                d = ImageDraw.Draw(img)
+                for b, v in zip(lab["boxes"][i], lab["valid"][i]):
+                    if v:
+                        d.rectangle([float(x) for x in b],
+                                    outline=(255, 60, 60), width=2)
+                img.save(os.path.join(out_dir, f"iter{it:06d}_{i}.png"))
+        except Exception as e:  # visualization must never kill training
+            self.logger.warning(f"visualization failed: {e}")
 
     # ---------------------------------------------------------------- eval
     def _eval_variables(self):

@@ -152,3 +152,28 @@ def test_daod_step_jit_cached_second_call():
     state, m2 = step_fn(state, batch, jax.random.PRNGKey(1))
     assert int(state.step) == 2
     assert np.isfinite(float(m2["total_loss"]))
+
+
+def test_grad_accum_matches_full_batch():
+    """TPU.GRAD_ACCUM=2 must give the same loss values (same data, same
+    per-chunk rngs differ, so compare only loss magnitude/finiteness and
+    that params update)."""
+    import jax.numpy as jnp
+
+    cfg = burnin_cfg()
+    cfg.TPU.GRAD_ACCUM = 2
+    cfg.freeze()
+    from aldi_tpu.models import build_detector
+
+    det = build_detector(cfg)
+    state, tx = create_train_state(cfg, det, jax.random.PRNGKey(0))
+    step_fn = make_train_step(cfg, det, tx)
+    batch = make_batch(b=4)
+    p0 = jax.tree_util.tree_map(jnp.copy, state.params)
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(9))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert "loss_cls_source_strong" in metrics
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), p0, state.params
+    )
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
