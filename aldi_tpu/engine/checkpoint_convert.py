@@ -60,7 +60,37 @@ def _torch_name_for(path: Tuple[str, ...], collection: str) -> str:
     def _leafmap(leaf):
         return {"kernel": "weight", "bias": "bias"}.get(leaf, leaf)
 
+    def vit_name(parts):
+        # ViTDet trunk: backbone.net.* in the substrate
+        # (patch_embed/pos_embed/blocks.N.{norm1,attn,norm2,mlp})
+        name = parts[1]
+        leaf = parts[-1]
+        if name == "patch_embed":
+            return f"backbone.net.patch_embed.proj.{_leafmap(leaf)}"
+        if name == "pos_embed":
+            return "backbone.net.pos_embed"
+        if name.startswith("block"):
+            i = name[len("block"):]
+            sub = parts[2]
+            base = f"backbone.net.blocks.{i}"
+            if sub in ("norm1", "norm2"):
+                return f"{base}.{sub}.{_leafmap(leaf)}"
+            if sub == "attn":
+                inner = parts[3]
+                if inner in ("qkv", "proj"):
+                    return f"{base}.attn.{inner}.{_leafmap(leaf)}"
+                return f"{base}.attn.{inner}"  # rel_pos_h / rel_pos_w
+            if sub == "mlp_fc1":
+                return f"{base}.mlp.fc1.{_leafmap(leaf)}"
+            if sub == "mlp_fc2":
+                return f"{base}.mlp.fc2.{_leafmap(leaf)}"
+        return None
+
     if top == "backbone":
+        if parts[1] == "pos_embed" or parts[1].startswith(
+            ("patch_embed", "block")
+        ):
+            return vit_name(parts)
         return resnet_name(parts)
     if top == "fpn":
         # fpn/lateral{s} -> backbone.fpn_lateral{s}; output{s} ->

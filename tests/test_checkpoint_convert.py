@@ -100,3 +100,42 @@ def test_shape_mismatch_skipped(variables):
         np.asarray(new_params["box_predictor"]["cls_score"]["kernel"]),
         np.asarray(params["box_predictor"]["cls_score"]["kernel"]),
     )
+
+
+def test_vit_names_covered():
+    """Every ViTDet trunk param maps to a substrate backbone.net.* name
+    (SimpleFeaturePyramid + heads intentionally partial until real zoo
+    checkpoints are available to validate against)."""
+    from aldi_tpu.models.vit import VIT_CONFIGS
+
+    cfg = tiny_cfg(**{
+        "MODEL.BACKBONE.NAME": "build_vitdet_b_backbone",
+        "MODEL.ROI_BOX_HEAD.NORM": "LN",
+        "MODEL.RPN.CONV_DIMS": [-1, -1],
+    })
+    orig = dict(VIT_CONFIGS["b"])
+    VIT_CONFIGS["b"] = dict(embed_dim=64, depth=2, num_heads=2,
+                            drop_path_rate=0.0, global_blocks=(1,))
+    try:
+        from aldi_tpu.models import build_detector
+
+        det = build_detector(cfg)
+        variables = jax.jit(det.init_variables)(jax.random.PRNGKey(0))
+    finally:
+        VIT_CONFIGS["b"] = orig
+    params = jax.device_get(variables["params"])
+    missing = []
+    for path in flatten_dict(params):
+        if path[0] != "backbone":
+            continue
+        name = _torch_name_for(path, "params")
+        if name is None:
+            missing.append("/".join(path))
+    assert not missing, missing
+    # spot-check exact names
+    assert _torch_name_for(("backbone", "block0", "attn", "qkv", "kernel"),
+                           "params") == "backbone.net.blocks.0.attn.qkv.weight"
+    assert _torch_name_for(("backbone", "block11", "attn", "rel_pos_h"),
+                           "params") == "backbone.net.blocks.11.attn.rel_pos_h"
+    assert _torch_name_for(("backbone", "pos_embed"),
+                           "params") == "backbone.net.pos_embed"
