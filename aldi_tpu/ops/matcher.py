@@ -58,15 +58,20 @@ def match(
     return matched_idx, match_labels
 
 
-def _random_rank(key, mask: jnp.ndarray) -> jnp.ndarray:
-    """Rank of each True element among True elements, in uniform random
-    order; False elements get ranks after all True ones."""
-    r = jax.random.uniform(key, mask.shape)
-    score = jnp.where(mask, r, 2.0)
-    order = jnp.argsort(score)
-    n = mask.shape[0]
-    rank = jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
-    return rank
+def _sample_k_of_mask(key, mask: jnp.ndarray, k, k_max: int) -> jnp.ndarray:
+    """Uniformly sample ``k`` (traced, <= k_max static) True elements of
+    ``mask``: keep elements whose random key is <= the k-th smallest among
+    True elements. O(N log k_max) via top_k — a full argsort over e.g. 765k
+    RPN anchors was the single hottest op in the train step."""
+    # 30-bit keys in int32 (x64 is disabled on TPU); sentinel above range
+    r = (jax.random.bits(key, mask.shape, jnp.uint32) >> 2).astype(jnp.int32)
+    masked = jnp.where(mask, r, jnp.int32(0x7FFFFFFF))
+    k_max = max(min(k_max, mask.shape[0]), 1)
+    # k_max smallest values, ascending
+    smallest = -jax.lax.top_k(-masked, k_max)[0]
+    thr = smallest[jnp.clip(k - 1, 0, k_max - 1)]
+    keep = mask & (masked <= thr)
+    return keep & (k > 0)
 
 
 def subsample_labels(
@@ -90,8 +95,8 @@ def subsample_labels(
     num_pos = jnp.minimum(pos_mask.sum(), num_pos_max)
     num_neg = jnp.minimum(neg_mask.sum(), num_samples - num_pos)
     kp, kn = jax.random.split(key)
-    sampled_pos = pos_mask & (_random_rank(kp, pos_mask) < num_pos)
-    sampled_neg = neg_mask & (_random_rank(kn, neg_mask) < num_neg)
+    sampled_pos = _sample_k_of_mask(kp, pos_mask, num_pos, num_pos_max)
+    sampled_neg = _sample_k_of_mask(kn, neg_mask, num_neg, num_samples)
     return sampled_pos, sampled_neg
 
 
