@@ -144,11 +144,11 @@ def roi_align(
     idx_hl = flat_idx(y_high, x_low)
     idx_hh = flat_idx(y_high, x_high)
 
-    ftab = table.astype(jnp.float32)
-
     def g(idx, w):
-        vals = jnp.take(ftab, idx.reshape(-1), axis=0)  # [P*out*sr*out*sr, C]
-        return vals.reshape(idx.shape + (c,)) * w[..., None]
+        # gather in the features' native dtype (bf16 halves the traffic of
+        # the dominant read), accumulate in f32 via the weight multiply
+        vals = jnp.take(table, idx.reshape(-1), axis=0)
+        return vals.reshape(idx.shape + (c,)).astype(jnp.float32) * w[..., None]
 
     acc = g(idx_ll, w_ll) + g(idx_lh, w_lh) + g(idx_hl, w_hl) + g(idx_hh, w_hh)
     # average the sr x sr samples per bin: [P, out_y, sr, out_x, sr, C]

@@ -48,6 +48,24 @@ def setup(args):
     return cfg
 
 
+def verify_results(cfg, results) -> bool:
+    """Substrate ``verify_results`` (consumed at reference
+    ``tools/train_net.py:79-80``): check TEST.EXPECTED_RESULTS entries
+    [dataset, metric, expected, tolerance] against eval output."""
+    ok = True
+    for dataset, metric, expected, tolerance in cfg.TEST.EXPECTED_RESULTS:
+        actual = results.get(dataset, {}).get(metric)
+        if actual is None or abs(actual - expected) > tolerance:
+            print(
+                f"verify_results FAIL: {dataset}/{metric} = {actual} "
+                f"(expected {expected} +/- {tolerance})"
+            )
+            ok = False
+        else:
+            print(f"verify_results OK: {dataset}/{metric} = {actual}")
+    return ok
+
+
 def main(args):
     cfg = setup(args)
     from aldi_tpu.engine.trainer import ALDITrainer
@@ -57,6 +75,8 @@ def main(args):
     if args.eval_only:
         results = trainer.test()
         print(results)
+        if cfg.TEST.EXPECTED_RESULTS:
+            assert verify_results(cfg, results)
         return results
     return trainer.train()
 
