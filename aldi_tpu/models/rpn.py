@@ -73,11 +73,28 @@ def label_anchors(
     [B, R] in {-1 ignore, 0 neg, 1 pos} *after* subsampling, and matched gt
     boxes [B, R, 4]."""
 
+    # the Pallas matcher streams anchors through VMEM instead of
+    # materializing the [765k, M] IoU matrix; batch is a static python loop
+    # so the kernel is not vmapped
+    use_pallas = (
+        jax.default_backend() == "tpu" and gt_boxes.shape[1] <= 128
+        and anchors.shape[0] >= 4096
+    )
+
     def per_image(k, gtb, gtv):
-        iou = box_ops.pairwise_iou(anchors, gtb)
-        midx, mlab = matcher_ops.match(
-            iou, gtv, list(thresholds), [0, -1, 1], allow_low_quality=True
-        )
+        if use_pallas:
+            from ..ops.pallas_match import match_boxes_pallas
+
+            midx, mlab = match_boxes_pallas(
+                anchors, gtb, gtv, list(thresholds), [0, -1, 1],
+                allow_low_quality=True,
+            )
+        else:
+            iou = box_ops.pairwise_iou(anchors, gtb)
+            midx, mlab = matcher_ops.match(
+                iou, gtv, list(thresholds), [0, -1, 1],
+                allow_low_quality=True,
+            )
         pos, neg = matcher_ops.subsample_labels(
             k, mlab.astype(jnp.int32), batch_size_per_image, positive_fraction,
             bg_label=0,
@@ -88,6 +105,13 @@ def label_anchors(
         return lab, gtb[midx]
 
     keys = jax.random.split(key, gt_boxes.shape[0])
+    if use_pallas:
+        outs = [
+            per_image(keys[b], gt_boxes[b], gt_valid[b])
+            for b in range(gt_boxes.shape[0])
+        ]
+        return (jnp.stack([o[0] for o in outs]),
+                jnp.stack([o[1] for o in outs]))
     return jax.vmap(per_image)(keys, gt_boxes, gt_valid)
 
 
