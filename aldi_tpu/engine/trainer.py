@@ -27,7 +27,7 @@ from ..data import datasets  # noqa: F401
 from ..data.loader import WeakStrongLoader
 from ..models import build_detector
 from ..parallel.mesh import make_mesh, replicate, shard_batch
-from ..utils.events import EventStorage, JSONWriter, TerminalWriter, setup_logger
+from ..utils.events import EventStorage, build_writers, setup_logger
 from .checkpoint import Checkpointer
 from .evaluator import inference_on_dataset
 from .train_step import create_train_state, make_train_step
@@ -118,10 +118,9 @@ class ALDITrainer:
         self.loader = None  # built lazily (eval-only runs have no train data)
         self.checkpointer = Checkpointer(cfg.OUTPUT_DIR, self.logger)
         self.storage = EventStorage()
-        self.writers = [
-            JSONWriter(os.path.join(cfg.OUTPUT_DIR, "metrics.json")),
-            TerminalWriter(cfg.SOLVER.MAX_ITER, self.logger),
-        ]
+        self.writers = build_writers(
+            cfg.OUTPUT_DIR, cfg.SOLVER.MAX_ITER, self.logger
+        )
         self._best = {}
 
     # ------------------------------------------------------------ weights

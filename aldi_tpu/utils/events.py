@@ -81,6 +81,36 @@ class TerminalWriter:
         )
 
 
+class TensorBoardWriter:
+    """Optional TensorBoard scalars (substrate installs one by default)."""
+
+    def __init__(self, log_dir: str):
+        from torch.utils.tensorboard import SummaryWriter
+
+        self._w = SummaryWriter(log_dir=log_dir)
+
+    def write(self, storage: EventStorage):
+        for k, v in storage.latest().items():
+            self._w.add_scalar(k, v, storage.iter)
+
+    def close(self):
+        self._w.close()
+
+
+def build_writers(output_dir: str, max_iter: int, logger=None):
+    writers = [
+        JSONWriter(os.path.join(output_dir, "metrics.json")),
+        TerminalWriter(max_iter, logger),
+    ]
+    try:
+        writers.append(
+            TensorBoardWriter(os.path.join(output_dir, "tensorboard"))
+        )
+    except ImportError:
+        pass
+    return writers
+
+
 def setup_logger(output_dir: str = None, name: str = "aldi_tpu"):
     logger = logging.getLogger(name)
     if logger.handlers:
