@@ -327,6 +327,8 @@ def get_default_cfg() -> CN:
     _C.TPU.GRAD_ACCUM = 1
     # Host data pipeline worker threads
     _C.TPU.DATA_THREADS = 8
+    # jax.profiler trace output dir; traces iterations [10, 13) when set
+    _C.TPU.PROFILE_DIR = ""
     # Prefetch depth (batches) from host to device
     _C.TPU.PREFETCH = 2
 

@@ -151,6 +151,15 @@ class ALDITrainer:
             data_time = time.time() - data_t0
             if self.mesh is not None:
                 batch = shard_batch(batch, self.mesh)
+            if cfg.TPU.PROFILE_DIR:  # trace a 3-iter window post-warmup
+                if it == start + 10:
+                    jax.profiler.start_trace(cfg.TPU.PROFILE_DIR)
+                elif it == start + 13:
+                    jax.profiler.stop_trace()
+                    self.logger.info(
+                        f"profiler trace written to {cfg.TPU.PROFILE_DIR}"
+                    )
+
             step_key = jax.random.fold_in(self.train_key, it)
             step_t0 = time.time()
             self.state, metrics = self.step_fn(self.state, batch, step_key)
