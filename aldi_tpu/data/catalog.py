@@ -6,7 +6,6 @@ a name -> loader-function registry plus per-dataset metadata (class names,
 COCO json path) used by the evaluator.
 """
 
-import os
 from typing import Callable, Dict, List
 
 

@@ -19,7 +19,6 @@ only (separable H/W depthwise), the standard definition.
 """
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ replicas by construction (same program, same inputs).
 
 from typing import Sequence
 
-import jax
 import jax.numpy as jnp
 from flax.traverse_util import flatten_dict, unflatten_dict
 

@@ -13,7 +13,6 @@ from collections import defaultdict
 from typing import Dict
 
 import jax
-import numpy as np
 
 from ..data.catalog import MetadataCatalog
 from ..data.loader import TestLoader

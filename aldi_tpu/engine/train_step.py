@@ -28,8 +28,7 @@ shared; only the teacher box head runs a second time (on the student's
 sampled proposals).
 """
 
-from functools import partial
-from typing import Any, Optional
+from typing import Any
 
 import flax.struct
 import jax

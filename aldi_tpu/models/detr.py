@@ -27,7 +27,6 @@ stated DETR recipe).
 """
 
 import math
-from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax

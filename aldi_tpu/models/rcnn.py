@@ -19,7 +19,6 @@ from typing import Optional, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import compute_dtype, resolve_canvas
 from ..ops.anchors import AnchorGenerator

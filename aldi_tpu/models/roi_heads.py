@@ -12,7 +12,6 @@ ManualSeed/ReplaceProposalsOnce hook pair (``aldi/helpers.py:17-42``) with a
 plain function argument.
 """
 
-from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -21,7 +20,7 @@ import jax.numpy as jnp
 from ..ops import boxes as box_ops
 from ..ops import matcher as matcher_ops
 from ..ops.losses import smooth_l1, softmax_cross_entropy
-from ..ops.nms import batched_nms_keep_mask, top_k_by_score
+from ..ops.nms import batched_nms_keep_mask
 from ..ops.roi_align import roi_align_batched
 
 

@@ -11,7 +11,7 @@ Flattened (H, W, A) ordering matches anchors.py, so logits/deltas/anchors
 align index-for-index across teacher and student.
 """
 
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import flax.linen as nn
 import jax

@@ -13,7 +13,6 @@ XLA-native rematerialization instead of torch's non-reentrant checkpoint
 hack.
 """
 
-import math
 from typing import Sequence, Tuple
 
 import flax.linen as nn

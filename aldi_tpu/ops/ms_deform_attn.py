@@ -15,7 +15,6 @@ align_corners=False and zero padding outside each level.
 
 from typing import Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 
 

@@ -13,7 +13,6 @@ lanes... (GT along the third axis of a [ROWS, 128, M] tile).
 Falls back transparently to the XLA path on CPU (interpret mode in tests).
 """
 
-import functools
 from typing import Tuple
 
 import jax

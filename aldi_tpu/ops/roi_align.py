@@ -16,7 +16,7 @@ to 2 for canonically-sized ROIs; fixed value keeps shapes static).
 """
 
 from functools import partial
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -2,7 +2,7 @@
 consumed at reference ``aldi/model.py:5``, ``aldi/align.py:11``,
 ``aldi/distill.py:17,33``)."""
 
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict, Optional
 
 
 class Registry:
