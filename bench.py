@@ -63,6 +63,11 @@ def build_cfg(canvas, batch_per_chip):
 def main():
     import jax
 
+    # TPU-optimized RBG PRNG: threefry bit-generation is measurable in the
+    # anchor-sampling path; RBG is the standard fast TPU generator
+    if os.environ.get("BENCH_PRNG", "rbg") == "rbg":
+        jax.config.update("jax_default_prng_impl", "rbg")
+
     n_chips = len(jax.devices())
     platform = jax.devices()[0].platform
     # per-chip stream batch (labeled == unlabeled), reference trains 3+3 per

@@ -139,3 +139,42 @@ def test_vit_names_covered():
                            "params") == "backbone.net.blocks.11.attn.rel_pos_h"
     assert _torch_name_for(("backbone", "pos_embed"),
                            "params") == "backbone.net.pos_embed"
+
+
+def test_pth_fresh_load_prefers_ema(tmp_path, variables):
+    """A reference-style .pth with {model, ema} entries initializes the
+    student from the EMA weights on fresh load (aldi/checkpoint.py:18-32)."""
+    import torch
+
+    from aldi_tpu.engine.checkpoint import load_reference_weights
+    from aldi_tpu.engine.train_step import create_train_state
+    from aldi_tpu.models import build_detector
+
+    cfg = tiny_cfg(**{"EMA.ENABLED": True})
+    det = build_detector(cfg)
+    state, _ = create_train_state(cfg, det, jax.random.PRNGKey(0))
+
+    params = jax.device_get(variables["params"])
+    frozen = jax.device_get(variables["frozen"])
+    sd_model, _ = _fake_torch_sd(params, frozen)
+    # ema entries use the "model." prefix and DIFFERENT values
+    sd_ema = {
+        "model." + k: v + 1000.0 for k, v in sd_model.items()
+    }
+    path = str(tmp_path / "burnin.pth")
+    torch.save({"model": sd_model, "ema": sd_ema, "iteration": 123}, path)
+
+    loaded = load_reference_weights(state, path, load_from_ema=True)
+    got = float(np.asarray(
+        loaded.params["box_predictor"]["cls_score"]["kernel"]).ravel()[0])
+    assert got > 999.0, got  # EMA values, not model values
+    # and the teacher starts as a copy of the loaded student
+    np.testing.assert_allclose(
+        np.asarray(loaded.ema_params["box_predictor"]["cls_score"]["kernel"]),
+        np.asarray(loaded.params["box_predictor"]["cls_score"]["kernel"]),
+    )
+
+    loaded2 = load_reference_weights(state, path, load_from_ema=False)
+    got2 = float(np.asarray(
+        loaded2.params["box_predictor"]["cls_score"]["kernel"]).ravel()[0])
+    assert got2 < 999.0, got2  # model entry when EMA load disabled
