@@ -58,7 +58,10 @@ def _torch_name_for(path: Tuple[str, ...], collection: str) -> str:
         return f"{base}.{conv}.{_leafmap(leaf)}"
 
     def _leafmap(leaf):
-        return {"kernel": "weight", "bias": "bias"}.get(leaf, leaf)
+        # flax: kernel/scale -> torch: weight (LayerNorm/GroupNorm use
+        # "scale" in flax)
+        return {"kernel": "weight", "scale": "weight", "bias": "bias"}.get(
+            leaf, leaf)
 
     def vit_name(parts):
         # ViTDet trunk: backbone.net.* in the substrate
@@ -86,11 +89,38 @@ def _torch_name_for(path: Tuple[str, ...], collection: str) -> str:
                 return f"{base}.mlp.fc2.{_leafmap(leaf)}"
         return None
 
+    def convnext_name(parts):
+        # reference vendored ConvNeXt (aldi/backbone.py:226-355):
+        # downsample_layers.{i} = [conv, norm] (i=0) / [norm, conv] (i>0);
+        # stages.{i}.{j}.{dwconv,norm,pwconv1,pwconv2,gamma}; out "norm{i}"
+        name = parts[1]
+        leaf = parts[-1]
+        base = "backbone.bottom_up"
+        if name.startswith("downsample"):
+            i = int(name[len("downsample"):].split("_")[0])
+            kind = name.split("_")[1]  # conv | norm
+            if i == 0:
+                slot = 0 if kind == "conv" else 1
+            else:
+                slot = 1 if kind == "conv" else 0
+            return f"{base}.downsample_layers.{i}.{slot}.{_leafmap(leaf)}"
+        if name.startswith("out_norm"):
+            return f"{base}.norm{name[len('out_norm'):]}.{_leafmap(leaf)}"
+        if name.startswith("stage"):
+            stage, block = name[len("stage"):].split("_block")
+            sub = parts[2]
+            if sub == "gamma":
+                return f"{base}.stages.{stage}.{block}.gamma"
+            return f"{base}.stages.{stage}.{block}.{sub}.{_leafmap(leaf)}"
+        return None
+
     if top == "backbone":
         if parts[1] == "pos_embed" or parts[1].startswith(
             ("patch_embed", "block")
         ):
             return vit_name(parts)
+        if parts[1].startswith(("downsample", "stage", "out_norm")):
+            return convnext_name(parts)
         return resnet_name(parts)
     if top == "fpn":
         # fpn/lateral{s} -> backbone.fpn_lateral{s}; output{s} ->
@@ -102,7 +132,10 @@ def _torch_name_for(path: Tuple[str, ...], collection: str) -> str:
     if top == "rpn_head":
         return f"proposal_generator.rpn_head.{parts[1]}.{_leafmap(parts[-1])}"
     if top == "box_head":
-        return f"roi_heads.box_head.{parts[1]}.{_leafmap(parts[-1])}"
+        name = parts[1]
+        if name.endswith("_norm"):  # convN LayerNorm (ViTDet head config)
+            return f"roi_heads.box_head.{name[:-5]}.norm.{_leafmap(parts[-1])}"
+        return f"roi_heads.box_head.{name}.{_leafmap(parts[-1])}"
     if top == "box_predictor":
         return f"roi_heads.box_predictor.{parts[1]}.{_leafmap(parts[-1])}"
     if top in ("img_align", "ins_align"):

@@ -178,3 +178,38 @@ def test_pth_fresh_load_prefers_ema(tmp_path, variables):
     got2 = float(np.asarray(
         loaded2.params["box_predictor"]["cls_score"]["kernel"]).ravel()[0])
     assert got2 < 999.0, got2  # model entry when EMA load disabled
+
+
+def test_convnext_and_boxhead_ln_names():
+    from aldi_tpu.models import build_detector
+
+    cfg = tiny_cfg(**{
+        "MODEL.BACKBONE.NAME": "build_convnext_fpn_backbone",
+        "MODEL.CONVNEXT.DEPTHS": [1, 1, 1, 1],
+        "MODEL.CONVNEXT.DIMS": [16, 32, 48, 64],
+        "MODEL.ROI_BOX_HEAD.NORM": "LN",
+        "MODEL.ROI_BOX_HEAD.NUM_CONV": 1,
+    })
+    det = build_detector(cfg)
+    variables = jax.jit(det.init_variables)(jax.random.PRNGKey(0))
+    missing = [
+        "/".join(p)
+        for p in flatten_dict(jax.device_get(variables["params"]))
+        if p[0] == "backbone" and _torch_name_for(p, "params") is None
+    ]
+    assert not missing, missing
+    assert _torch_name_for(
+        ("backbone", "downsample0_conv", "kernel"), "params"
+    ) == "backbone.bottom_up.downsample_layers.0.0.weight"
+    assert _torch_name_for(
+        ("backbone", "downsample1_norm", "scale"), "params"
+    ) == "backbone.bottom_up.downsample_layers.1.0.weight"
+    assert _torch_name_for(
+        ("backbone", "stage2_block0", "dwconv", "kernel"), "params"
+    ) == "backbone.bottom_up.stages.2.0.dwconv.weight"
+    assert _torch_name_for(
+        ("backbone", "stage0_block0", "gamma"), "params"
+    ) == "backbone.bottom_up.stages.0.0.gamma"
+    assert _torch_name_for(
+        ("box_head", "conv1_norm", "scale"), "params"
+    ) == "roi_heads.box_head.conv1.norm.weight"
