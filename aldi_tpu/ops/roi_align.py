@@ -70,16 +70,10 @@ def roi_align(
 
     Returns [P, output_size, output_size, C].
     """
-    num_levels = len(features)
     c = features[0].shape[-1]
     hs = jnp.asarray([f.shape[0] for f in features], jnp.int32)
     ws = jnp.asarray([f.shape[1] for f in features], jnp.int32)
-    sizes = [int(f.shape[0]) * int(f.shape[1]) for f in features]
-    offsets = jnp.asarray(
-        [0] + list(jnp.cumsum(jnp.asarray(sizes))[:-1]), jnp.int32
-    )
     scales = jnp.asarray([1.0 / s for s in strides], jnp.float32)
-    table = jnp.concatenate([f.reshape(-1, c) for f in features], axis=0)
 
     import math
 
@@ -88,7 +82,7 @@ def roi_align(
     lvl = assign_levels(boxes, min_level, max_level)  # [P]
 
     scale = scales[lvl]  # [P]
-    h_l, w_l, off_l = hs[lvl], ws[lvl], offsets[lvl]
+    h_l, w_l = hs[lvl], ws[lvl]
 
     boxes_f = boxes.astype(jnp.float32)
     # aligned=True: half-pixel offset on the start coordinate
@@ -118,40 +112,57 @@ def roi_align(
     x_low, x_high, lx, x_oob = _bilinear_params(xs, w_l[:, None, None])
     hy, hx = 1.0 - ly, 1.0 - lx
 
-    # combine into [P, out, sr, out, sr] grids
-    w_ll = hy[:, :, :, None, None] * hx[:, None, None, :, :]
-    w_lh = hy[:, :, :, None, None] * lx[:, None, None, :, :]
-    w_hl = ly[:, :, :, None, None] * hx[:, None, None, :, :]
-    w_hh = ly[:, :, :, None, None] * lx[:, None, None, :, :]
+    # per-corner bilinear weights on the [P, oy, sy, ox, sx] sample lattice
     oob = y_oob[:, :, :, None, None] | x_oob[:, None, None, :, :]
     invalid = oob | (~box_valid[:, None, None, None, None])
-    zero = jnp.asarray(0.0, jnp.float32)
-    w_ll, w_lh, w_hl, w_hh = (
-        jnp.where(invalid, zero, w) for w in (w_ll, w_lh, w_hl, w_hh)
+    sl = (slice(None), slice(None), slice(None), None, None)  # y dims
+    sx_ = (slice(None), None, None, slice(None), slice(None))  # x dims
+    wy = jnp.stack([hy[sl] * jnp.ones_like(lx[sx_]),
+                    ly[sl] * jnp.ones_like(lx[sx_])], -1)  # [..., 2]
+    wx = jnp.stack([hx[sx_] * jnp.ones_like(ly[sl]),
+                    lx[sx_] * jnp.ones_like(ly[sl])], -1)
+    w = wy[..., :, None] * wx[..., None, :]  # [P, oy, sy, ox, sx, 2, 2]
+    w = jnp.where(invalid[..., None, None], 0.0, w)
+
+    # one 2x2-footprint slice-gather per SAMPLE instead of four row gathers
+    # per corner: levels are stacked as [H_l, Wmax*C] rows (+C columns and
+    # one extra row so edge slices read zero padding; edge corners carry
+    # weight 0, so the padding never contributes).
+    wmax = max(int(f.shape[1]) for f in features)
+    rows = []
+    for f in features:
+        r = f.reshape(f.shape[0], f.shape[1] * c)
+        if f.shape[1] < wmax:
+            r = jnp.pad(r, ((0, 0), (0, (wmax - f.shape[1]) * c)))
+        rows.append(r)
+    table2d = jnp.concatenate(rows, axis=0)
+    table2d = jnp.pad(table2d, ((0, 1), (0, c)))
+    row_offsets = jnp.asarray(
+        [0] + list(jnp.cumsum(jnp.asarray([f.shape[0] for f in features]))[:-1]),
+        jnp.int32,
     )
 
-    w_row = w_l[:, None, None]
-    base = off_l[:, None, None, None, None]
+    y_b = jnp.broadcast_to(y_low[sl], invalid.shape)
+    x_b = jnp.broadcast_to(x_low[sx_], invalid.shape)
+    y_glob = row_offsets[lvl][:, None, None, None, None] + y_b
+    starts = jnp.stack(
+        [y_glob.reshape(-1), (x_b * c).reshape(-1)], axis=-1
+    ).astype(jnp.int32)
 
-    def flat_idx(yv, xv):
-        return base + (
-            yv[:, :, :, None, None] * w_row[:, :, :, None, None]
-            + xv[:, None, None, :, :]
-        )
-
-    idx_ll = flat_idx(y_low, x_low)
-    idx_lh = flat_idx(y_low, x_high)
-    idx_hl = flat_idx(y_high, x_low)
-    idx_hh = flat_idx(y_high, x_high)
-
-    def g(idx, w):
-        # gather in the features' native dtype (bf16 halves the traffic of
-        # the dominant read), accumulate in f32 via the weight multiply
-        vals = jnp.take(table, idx.reshape(-1), axis=0)
-        return vals.reshape(idx.shape + (c,)).astype(jnp.float32) * w[..., None]
-
-    acc = g(idx_ll, w_ll) + g(idx_lh, w_lh) + g(idx_hl, w_hl) + g(idx_hh, w_hh)
-    # average the sr x sr samples per bin: [P, out_y, sr, out_x, sr, C]
+    gathered = jax.lax.gather(
+        table2d,
+        starts,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2),
+            collapsed_slice_dims=(),
+            start_index_map=(0, 1),
+        ),
+        slice_sizes=(2, 2 * c),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # [N, 2, 2C]
+    vals = gathered.reshape(invalid.shape + (2, 2, c)).astype(jnp.float32)
+    acc = (vals * w[..., None]).sum(axis=(-3, -2))
+    # average the sr x sr samples per bin: [P, oy, sy, ox, sx, C]
     out = acc.mean(axis=(2, 4))  # [P, out_y, out_x, C]
     return out.astype(features[0].dtype)
 
