@@ -59,6 +59,7 @@ def roi_align(
     strides: Sequence[int],
     output_size: int = 7,
     sampling_ratio: int = 2,
+    mode: str = "corner_gather",
 ) -> jnp.ndarray:
     """Multi-level ROIAlign for ONE image.
 
@@ -67,6 +68,11 @@ def roi_align(
       boxes: [P, 4] xyxy in image coordinates.
       box_valid: [P] bool.
       strides: per-level feature strides.
+      mode: "corner_gather" (4 row gathers per sample, default) or
+        "slice2x2" (one (2, 2C)-slice gather per sample). slice2x2 is ~50x
+        faster in isolation on v5e but regressed the fused train step 8x
+        (XLA chose a pathological layout/scatter for the big graph) — kept
+        for further investigation, do not enable by default.
 
     Returns [P, output_size, output_size, C].
     """
@@ -115,6 +121,50 @@ def roi_align(
     # per-corner bilinear weights on the [P, oy, sy, ox, sx] sample lattice
     oob = y_oob[:, :, :, None, None] | x_oob[:, None, None, :, :]
     invalid = oob | (~box_valid[:, None, None, None, None])
+
+    if mode == "corner_gather":
+        hy_g = hy[:, :, :, None, None]
+        ly_g = ly[:, :, :, None, None]
+        hx_g = hx[:, None, None, :, :]
+        lx_g = lx[:, None, None, :, :]
+        zero = jnp.asarray(0.0, jnp.float32)
+        w_ll = jnp.where(invalid, zero, hy_g * hx_g)
+        w_lh = jnp.where(invalid, zero, hy_g * lx_g)
+        w_hl = jnp.where(invalid, zero, ly_g * hx_g)
+        w_hh = jnp.where(invalid, zero, ly_g * lx_g)
+
+        sizes = [int(f.shape[0]) * int(f.shape[1]) for f in features]
+        offsets = jnp.asarray(
+            [0] + list(jnp.cumsum(jnp.asarray(sizes))[:-1]), jnp.int32
+        )
+        table = jnp.concatenate([f.reshape(-1, c) for f in features], axis=0)
+        w_row = w_l[:, None, None]
+        base = offsets[lvl][:, None, None, None, None]
+
+        def flat_idx(yv, xv):
+            return base + (
+                yv[:, :, :, None, None] * w_row[:, :, :, None, None]
+                + xv[:, None, None, :, :]
+            )
+
+        def g(idx, w):
+            # gather in the features' native dtype; accumulate in f32
+            vals = jnp.take(table, idx.reshape(-1), axis=0)
+            return (
+                vals.reshape(idx.shape + (c,)).astype(jnp.float32)
+                * w[..., None]
+            )
+
+        acc = (
+            g(flat_idx(y_low, x_low), w_ll)
+            + g(flat_idx(y_low, x_high), w_lh)
+            + g(flat_idx(y_high, x_low), w_hl)
+            + g(flat_idx(y_high, x_high), w_hh)
+        )
+        out = acc.mean(axis=(2, 4))
+        return out.astype(features[0].dtype)
+
+    assert mode == "slice2x2", mode
     sl = (slice(None), slice(None), slice(None), None, None)  # y dims
     sx_ = (slice(None), None, None, slice(None), slice(None))  # x dims
     wy = jnp.stack([hy[sl] * jnp.ones_like(lx[sx_]),

@@ -107,3 +107,18 @@ def test_roi_align_multilevel_routing():
     vals = np.asarray(out).mean(axis=(1, 2, 3))
     want = np.where(lvl == 0, 1.0, 2.0)
     np.testing.assert_allclose(vals, want, rtol=1e-5)
+
+
+def test_slice2x2_mode_matches_corner_gather():
+    rng = np.random.default_rng(3)
+    feats = [
+        jnp.asarray(rng.normal(size=(32, 48, 8)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(16, 24, 8)).astype(np.float32)),
+    ]
+    boxes = jnp.asarray(rng.uniform(0, 120, (6, 4)).astype(np.float32))
+    boxes = boxes.at[:, 2:].add(30)
+    valid = jnp.asarray([True] * 5 + [False])
+    a = roi_align(feats, boxes, valid, [4, 8], mode="corner_gather")
+    b = roi_align(feats, boxes, valid, [4, 8], mode="slice2x2")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-5)
