@@ -103,11 +103,16 @@ def main():
         state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
     jax.block_until_ready(state.params)
 
+    # fetch the loss to host EVERY step: the tunnel runtime otherwise
+    # overlaps/elides work and reports impossibly fast steps
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     t0 = time.time()
+    total = 0.0
     for i in range(iters):
         state, metrics = step_fn(state, batch, jax.random.PRNGKey(100 + i))
-    jax.block_until_ready(state.params)
+        # the fetch is the sync point; random-init at the reference LR can
+        # legitimately NaN - irrelevant for throughput
+        total += float(metrics["total_loss"])
     dt = (time.time() - t0) / iters
 
     imgs_per_iter = 2 * bpc * n_chips  # labeled + unlabeled streams
