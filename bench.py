@@ -106,13 +106,20 @@ def main():
     # fetch the loss to host EVERY step: the tunnel runtime otherwise
     # overlaps/elides work and reports impossibly fast steps
     iters = int(os.environ.get("BENCH_ITERS", "10"))
+    # lagged sync: fetch step i-2's loss while step i runs. A fetch every
+    # step serializes host<->device and costs ~85ms/step through the tunnel;
+    # no fetch at all lets the runtime elide work entirely (measured 600+
+    # img/s nonsense). Two in flight matches a real training loop.
     t0 = time.time()
+    pending = []
     total = 0.0
     for i in range(iters):
         state, metrics = step_fn(state, batch, jax.random.PRNGKey(100 + i))
-        # the fetch is the sync point; random-init at the reference LR can
-        # legitimately NaN - irrelevant for throughput
-        total += float(metrics["total_loss"])
+        pending.append(metrics["total_loss"])
+        if len(pending) > 2:
+            total += float(pending.pop(0))
+    for p in pending:
+        total += float(p)
     dt = (time.time() - t0) / iters
 
     imgs_per_iter = 2 * bpc * n_chips  # labeled + unlabeled streams
