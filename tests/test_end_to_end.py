@@ -104,3 +104,63 @@ def test_daod_train_smoke(tmp_path):
     sm = trainer.storage.latest()
     assert "loss_cls_ce_distill" in sm
     assert np.isfinite(sm["total_loss"])
+
+
+def test_yolo_train_eval_smoke(tmp_path):
+    tmp = str(tmp_path)
+    cfg = base_cfg(tmp, "out_yolo")
+    cfg.MODEL.META_ARCHITECTURE = "Yolo"
+    cfg.MODEL.YAML = "yolov5://yolov5n.yaml"
+    cfg.MODEL.YOLO.NUM_CLASSES = 3
+    cfg.MODEL.PIXEL_MEAN = [0.0, 0.0, 0.0]
+    cfg.MODEL.PIXEL_STD = [255.0, 255.0, 255.0]
+    cfg.DATASETS.BATCH_CONTENTS = ("labeled_strong",)
+    cfg.DATASETS.BATCH_RATIOS = (1,)
+    cfg.EMA.ENABLED = True
+    cfg.SOLVER.MAX_ITER = 2
+    cfg.SOLVER.CHECKPOINT_PERIOD = 2
+    cfg.freeze()
+
+    from aldi_tpu.engine.trainer import ALDITrainer
+
+    trainer = ALDITrainer(cfg)
+    trainer.resume_or_load(resume=False)
+    trainer.train()
+    assert int(trainer.state.step) == 2
+    # BN stats live in state and eval (teacher, running-average mode) works
+    assert "batch_stats" in trainer.state.model_state
+    results = trainer.test()
+    assert "bbox/AP50" in results["synth_val"]
+
+
+def test_detr_train_eval_smoke(tmp_path):
+    tmp = str(tmp_path)
+    cfg = base_cfg(tmp, "out_detr")
+    cfg.MODEL.META_ARCHITECTURE = "DeformableDETR"
+    cfg.MODEL.PIXEL_MEAN = [123.675, 116.280, 103.530]
+    cfg.MODEL.PIXEL_STD = [58.395, 57.120, 57.375]
+    dd = cfg.MODEL.DEFORMABLE_DETR
+    dd.NUM_CLASSES = 3
+    dd.TRANSFORMER.ENC_LAYERS = 1
+    dd.TRANSFORMER.DEC_LAYERS = 1
+    dd.TRANSFORMER.NUM_QUERIES = 10
+    dd.TRANSFORMER.HIDDEN_DIM = 32
+    dd.TRANSFORMER.DIM_FEEDFORWARD = 64
+    dd.TRANSFORMER.NHEADS = 2
+    cfg.DATASETS.BATCH_CONTENTS = ("labeled_strong",)
+    cfg.DATASETS.BATCH_RATIOS = (1,)
+    cfg.EMA.ENABLED = True
+    cfg.SOLVER.OPTIMIZER = "ADAMW"
+    cfg.SOLVER.BASE_LR = 1e-4
+    cfg.SOLVER.MAX_ITER = 2
+    cfg.SOLVER.CHECKPOINT_PERIOD = 2
+    cfg.freeze()
+
+    from aldi_tpu.engine.trainer import ALDITrainer
+
+    trainer = ALDITrainer(cfg)
+    trainer.resume_or_load(resume=False)
+    trainer.train()
+    assert int(trainer.state.step) == 2
+    results = trainer.test()
+    assert "bbox/AP50" in results["synth_val"]
