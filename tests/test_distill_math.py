@@ -1,0 +1,150 @@
+"""Hand-computed checks of the distillation loss math (reference
+``aldi/distill.py:193-278`` semantics) — the losses where silent AP drift
+would come from."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aldi_tpu.engine.distill import (
+    gate_hard_losses,
+    roih_distill_losses,
+    rpn_distill_losses,
+)
+
+
+def sigmoid(x):
+    return 1 / (1 + np.exp(-x))
+
+
+def softmax(x, axis=-1):
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def bce_logits(logit, p):
+    return np.maximum(logit, 0) - logit * p + np.log1p(np.exp(-abs(logit)))
+
+
+def test_rpn_obj_distill_matches_manual():
+    # 1 image, 4 anchors: labels [1, 0, -1, 0] -> valid = [T,T,F,T]
+    s_logits = jnp.asarray([[0.5, -1.0, 2.0, 0.0]])
+    t_logits = jnp.asarray([[1.0, -2.0, 0.0, 1.5]])
+    labels = jnp.asarray([[1, 0, -1, 0]], jnp.int8)
+    out = rpn_distill_losses(
+        s_logits, jnp.zeros((1, 4, 4)), t_logits, jnp.zeros((1, 4, 4)),
+        labels, obj_temperature=2.0, do_obj=True, do_reg=False,
+    )
+    t_probs = sigmoid(np.asarray(t_logits) / 2.0)
+    manual = np.mean(
+        [bce_logits(0.5, t_probs[0, 0]), bce_logits(-1.0, t_probs[0, 1]),
+         bce_logits(0.0, t_probs[0, 3])]
+    )
+    np.testing.assert_allclose(float(out["loss_obj_bce"]), manual, rtol=1e-5)
+
+
+def test_rpn_reg_distill_fg_only_l1():
+    labels = jnp.asarray([[1, 0, 1, -1]], jnp.int8)
+    sd = jnp.asarray([[[1.0, 2, 3, 4], [9, 9, 9, 9], [0, 0, 0, 0],
+                       [5, 5, 5, 5]]])
+    td = jnp.asarray([[[0.0, 0, 0, 0], [1, 1, 1, 1], [1, 1, 1, 1],
+                       [0, 0, 0, 0]]])
+    out = rpn_distill_losses(
+        jnp.zeros((1, 4)), sd, jnp.zeros((1, 4)), td, labels,
+        do_obj=False, do_reg=True,
+    )
+    # fg anchors 0 and 2; elementwise |s-t| mean over fg*4 elements
+    manual = np.mean([1, 2, 3, 4, 1, 1, 1, 1])
+    np.testing.assert_allclose(float(out["loss_rpn_l1"]), manual, rtol=1e-5)
+
+
+def test_roih_cls_distill_soft_ce():
+    k = 3  # 2 classes + bg
+    s = np.asarray([[[1.0, 0.0, -1.0], [0.5, 0.5, 0.5]]], np.float32)
+    t = np.asarray([[[2.0, 0.0, 0.0], [0.0, 0.0, 3.0]]], np.float32)
+    valid = jnp.asarray([[True, True]])
+    out = roih_distill_losses(
+        jnp.asarray(s), jnp.zeros((1, 2, 8)), jnp.asarray(t),
+        jnp.zeros((1, 2, 8)), valid, num_classes=2,
+        cls_temperature=1.0, cls_loss_type="CE", do_cls=True, do_reg=False,
+    )
+    t_probs = softmax(t)
+    log_s = np.log(softmax(s))
+    manual = -np.sum(t_probs * log_s, -1).mean()
+    np.testing.assert_allclose(float(out["loss_cls_ce"]), manual, rtol=1e-5)
+
+
+def test_roih_reg_distill_teacher_argmax_foreground():
+    # 2 proposals, 2 classes (+bg idx 2). proposal 0: teacher argmax class 1
+    # (fg); proposal 1: argmax bg -> excluded
+    t_cls = np.asarray([[[0.0, 5.0, 1.0], [0.0, 0.0, 5.0]]], np.float32)
+    s_d = np.zeros((1, 2, 8), np.float32)
+    t_d = np.zeros((1, 2, 8), np.float32)
+    # class-1 deltas live at [4:8]
+    s_d[0, 0, 4:8] = [1, 2, 3, 4]
+    t_d[0, 0, 4:8] = [0, 0, 0, 0]
+    s_d[0, 1, 0:4] = [9, 9, 9, 9]  # class-0 deltas of the bg proposal: unused
+    valid = jnp.asarray([[True, True]])
+    out = roih_distill_losses(
+        jnp.zeros((1, 2, 3)), jnp.asarray(s_d), jnp.asarray(t_cls),
+        jnp.asarray(t_d), valid, num_classes=2, do_cls=False, do_reg=True,
+    )
+    # sum |s-t| over the fg proposal's matched-class deltas / total proposals
+    manual = (1 + 2 + 3 + 4) / 2.0
+    np.testing.assert_allclose(float(out["loss_roih_l1"]), manual, rtol=1e-5)
+
+
+def test_roih_cls_kl_variant():
+    s = jnp.asarray([[[1.0, 0.0, -1.0]]])
+    t = jnp.asarray([[[2.0, 0.0, 0.0]]])
+    valid = jnp.asarray([[True]])
+    out = roih_distill_losses(
+        s, jnp.zeros((1, 1, 8)), t, jnp.zeros((1, 1, 8)), valid,
+        num_classes=2, cls_temperature=2.0, cls_loss_type="KL",
+        do_cls=True, do_reg=False,
+    )
+    tp = softmax(np.asarray(t) / 2.0)
+    log_t = np.log(tp)
+    log_s = np.log(softmax(np.asarray(s)))
+    manual = np.sum(tp * (log_t - log_s), -1).mean()
+    np.testing.assert_allclose(float(out["loss_cls_ce"]), manual, rtol=1e-5)
+
+
+def test_gate_hard_losses_keys():
+    from aldi_tpu.config import get_cfg
+
+    cfg = get_cfg()
+    cfg.DOMAIN_ADAPT.DISTILL.HARD_OBJ_ENABLED = True
+    losses = {
+        "loss_cls": jnp.asarray(2.0),
+        "loss_rpn_cls": jnp.asarray(3.0),
+        "loss_rpn_loc": jnp.asarray(4.0),
+        "loss_box_reg": jnp.asarray(5.0),
+        "loss_obj": jnp.asarray(6.0),  # yolo key, same flag
+    }
+    out = gate_hard_losses(losses, cfg)
+    assert float(out["loss_rpn_cls"]) == 3.0  # kept (HARD_OBJ)
+    assert float(out["loss_obj"]) == 6.0
+    assert float(out["loss_cls"]) == 0.0
+    assert float(out["loss_box_reg"]) == 0.0
+    assert set(out) == set(losses)  # zeroed keys retained
+
+
+def test_auto_scale_workers():
+    from aldi_tpu.config import get_cfg
+    from aldi_tpu.engine.trainer import auto_scale_workers
+
+    cfg = get_cfg()
+    cfg.SOLVER.REFERENCE_WORLD_SIZE = 8
+    cfg.SOLVER.IMS_PER_BATCH = 48
+    cfg.SOLVER.BASE_LR = 0.06
+    cfg.SOLVER.MAX_ITER = 15000
+    cfg.SOLVER.STEPS = (14999,)
+    out = auto_scale_workers(cfg, 16)
+    assert out.SOLVER.IMS_PER_BATCH == 96
+    assert abs(out.SOLVER.BASE_LR - 0.12) < 1e-9
+    assert out.SOLVER.MAX_ITER == 7500
+    assert out.SOLVER.REFERENCE_WORLD_SIZE == 16
+    # no-op when reference world size unset
+    cfg2 = get_cfg()
+    assert auto_scale_workers(cfg2, 16) is cfg2
