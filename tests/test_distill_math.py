@@ -148,3 +148,58 @@ def test_auto_scale_workers():
     # no-op when reference world size unset
     cfg2 = get_cfg()
     assert auto_scale_workers(cfg2, 16) is cfg2
+
+
+def test_fast_rcnn_losses_manual():
+    """Supervised second-stage losses against manual numpy (CE mean over
+    sampled, smooth-L1 beta 0 over fg matched-class deltas / total)."""
+    from aldi_tpu.models.roi_heads import fast_rcnn_losses
+    from aldi_tpu.ops.boxes import encode_deltas
+
+    k = 2
+    sampled = {
+        "boxes": jnp.asarray([[[0.0, 0, 10, 10], [5, 5, 9, 9]]]),
+        "classes": jnp.asarray([[0, 2]]),  # fg class 0, bg (=k)
+        "target_boxes": jnp.asarray([[[1.0, 1, 11, 11], [0, 0, 1, 1]]]),
+        "valid": jnp.asarray([[True, True]]),
+        "is_pos": jnp.asarray([[True, False]]),
+    }
+    cls_logits = jnp.asarray([[[2.0, 0.0, 0.0], [0.0, 1.0, 1.0]]])
+    deltas = jnp.zeros((1, 2, 8))
+    out = fast_rcnn_losses(cls_logits, deltas, sampled, num_classes=k)
+
+    ce = -np.log(softmax(np.asarray(cls_logits)))[0, [0, 1], [0, 2]].mean()
+    np.testing.assert_allclose(float(out["loss_cls"]), ce, rtol=1e-5)
+
+    tgt = np.asarray(
+        encode_deltas(
+            sampled["boxes"][0, :1], sampled["target_boxes"][0, :1],
+            (10.0, 10.0, 5.0, 5.0),
+        )
+    )
+    manual_reg = np.abs(tgt).sum() / 2  # sum |0 - tgt| over fg / num sampled
+    np.testing.assert_allclose(float(out["loss_box_reg"]), manual_reg,
+                               rtol=1e-5)
+
+
+def test_rpn_losses_normalization():
+    """RPN losses normalize by B * batch_size_per_image regardless of how
+    many anchors were actually sampled."""
+    from aldi_tpu.models.rpn import rpn_losses
+
+    anchors = jnp.asarray([[0.0, 0, 10, 10], [20, 20, 30, 30],
+                           [100, 100, 110, 110], [50, 50, 60, 60]])
+    gt = jnp.asarray([[[0.0, 0, 10, 10]]])  # exactly matches anchor 0
+    gv = jnp.ones((1, 1), bool)
+    logits = jnp.zeros((1, 4))
+    deltas = jnp.zeros((1, 4, 4))
+    out = rpn_losses(
+        jax.random.PRNGKey(0), anchors, logits, deltas, gt, gv,
+        batch_size_per_image=256, positive_fraction=0.5,
+    )
+    # all 4 anchors sampled (well under 256): obj BCE at logit 0 is log(2)
+    # per anchor -> 4 * log(2) / 256; reg: fg anchor 0 has zero target
+    np.testing.assert_allclose(
+        float(out["loss_rpn_cls"]), 4 * np.log(2) / 256, rtol=1e-5
+    )
+    np.testing.assert_allclose(float(out["loss_rpn_loc"]), 0.0, atol=1e-6)
