@@ -1,0 +1,80 @@
+"""Host data pipeline: determinism and batch-contract checks."""
+
+import os
+
+import numpy as np
+import pytest
+
+from aldi_tpu.config import get_cfg
+from tests.synthetic_data import register_synthetic
+
+
+@pytest.fixture(scope="module")
+def cfg(tmp_path_factory):
+    register_synthetic(
+        str(tmp_path_factory.mktemp("loaderdata")), prefix="loadsynth"
+    )
+    cfg = get_cfg()
+    cfg.INPUT.MIN_SIZE_TRAIN = (64, 96)
+    cfg.INPUT.MAX_SIZE_TRAIN = 128
+    cfg.INPUT.MIN_SIZE_TEST = 96
+    cfg.INPUT.MAX_SIZE_TEST = 128
+    cfg.TPU.CANVAS = (128, 128)
+    cfg.TPU.MAX_GT = 8
+    cfg.DATASETS.TRAIN = ("loadsynth_train",)
+    cfg.DATASETS.UNLABELED = ("loadsynth_unlabeled",)
+    cfg.DATASETS.BATCH_CONTENTS = ("labeled_strong", "unlabeled_strong")
+    cfg.DATASETS.BATCH_RATIOS = (1, 1)
+    cfg.SOLVER.IMS_PER_BATCH = 4
+    return cfg
+
+
+def test_loader_batches_deterministic_across_thread_counts(cfg):
+    """Batch k is a pure function of (seed, k): 1 thread and 4 threads must
+    produce byte-identical streams (the reference's worker processes are
+    order-dependent; ours are not)."""
+    from aldi_tpu.data.loader import WeakStrongLoader
+
+    def take(n_threads, n_batches=4):
+        loader = WeakStrongLoader(cfg, (128, 128), seed=7,
+                                  num_threads=n_threads)
+        return [next(loader) for _ in range(n_batches)]
+
+    a = take(1)
+    b = take(4)
+    for ba, bb in zip(a, b):
+        for stream in ("labeled", "unlabeled"):
+            for k in ba[stream]:
+                np.testing.assert_array_equal(
+                    ba[stream][k], bb[stream][k], err_msg=f"{stream}/{k}"
+                )
+
+
+def test_loader_seed_changes_stream(cfg):
+    from aldi_tpu.data.loader import WeakStrongLoader
+
+    a = next(WeakStrongLoader(cfg, (128, 128), seed=1, num_threads=2))
+    b = next(WeakStrongLoader(cfg, (128, 128), seed=2, num_threads=2))
+    assert not np.array_equal(a["labeled"]["image"], b["labeled"]["image"])
+
+
+def test_loader_batch_contract(cfg):
+    from aldi_tpu.data.loader import WeakStrongLoader
+
+    batch = next(WeakStrongLoader(cfg, (128, 128), seed=0, num_threads=2))
+    lab, unlab = batch["labeled"], batch["unlabeled"]
+    assert lab["image"].shape == (2, 128, 128, 3)
+    assert lab["image"].dtype == np.uint8
+    assert lab["boxes"].shape == (2, 8, 4)
+    assert lab["valid"].dtype == bool
+    assert unlab["image"].shape == (2, 128, 128, 3)
+    assert "boxes" not in unlab  # unlabeled stream strips annotations
+    # sizes lie inside the canvas
+    assert (lab["sizes"] <= 128).all() and (lab["sizes"] > 0).all()
+    # every valid gt box lies inside its image's valid region
+    for i in range(2):
+        for b, v in zip(lab["boxes"][i], lab["valid"][i]):
+            if v:
+                h, w = lab["sizes"][i]
+                assert 0 <= b[0] < b[2] <= w + 1e-3
+                assert 0 <= b[1] < b[3] <= h + 1e-3
