@@ -56,16 +56,26 @@ def register_all():
          "cityscapes/annotations/cityscapes_val_instances_cars.json",
          "cityscapes/leftImg8bit/val")
 
-    # CFC Kenai -> Channel
-    _reg("cfc_train", "cfc/coco_labels/cfc_train.json",
-         "cfc/images/cfc_train")
-    _reg("cfc_val", "cfc/coco_labels/cfc_val.json", "cfc/images/cfc_val")
+    # CFC Kenai -> Channel. Reference layout is ``datasets/cfc_daod/...``
+    # (``aldi/datasets.py:19-22``); a reference-prepared datasets dir drops
+    # in unchanged. A legacy ``cfc/...`` tree is accepted as fallback.
+    def _cfc_root():
+        return (
+            "cfc" if os.path.isdir(os.path.join(_ROOT, "cfc"))
+            and not os.path.isdir(os.path.join(_ROOT, "cfc_daod"))
+            else "cfc_daod"
+        )
+
+    c = _cfc_root()
+    _reg("cfc_train", f"{c}/coco_labels/cfc_train.json",
+         f"{c}/images/cfc_train")
+    _reg("cfc_val", f"{c}/coco_labels/cfc_val.json", f"{c}/images/cfc_val")
     _reg("cfc_channel_train",
-         "cfc/coco_labels/cfc_channel_train.json",
-         "cfc/images/cfc_channel_train")
+         f"{c}/coco_labels/cfc_channel_train.json",
+         f"{c}/images/cfc_channel_train")
     _reg("cfc_channel_test",
-         "cfc/coco_labels/cfc_channel_test.json",
-         "cfc/images/cfc_channel_test")
+         f"{c}/coco_labels/cfc_channel_test.json",
+         f"{c}/images/cfc_channel_test")
 
 
 register_all()

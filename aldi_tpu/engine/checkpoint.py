@@ -117,6 +117,14 @@ def load_reference_weights(
         sd = load_d2_pkl_state_dict(path)
     else:
         sd = load_torch_state_dict(path)
+        if not isinstance(sd, dict):  # a pickled nn.Module
+            sd = sd.state_dict()
+        if "model" in sd and not isinstance(sd["model"], dict):
+            # ultralytics-style {"model": Model[, "ema": Model]} wrapper
+            wrapped = {"model": sd["model"].float().state_dict()}
+            if sd.get("ema") is not None and not isinstance(sd["ema"], dict):
+                wrapped["ema"] = sd["ema"].float().state_dict()
+            sd = wrapped
         if "model" in sd and isinstance(sd["model"], dict):
             if load_from_ema and "ema" in sd:
                 # EMA entries are prefixed "model." (reference
@@ -131,13 +139,21 @@ def load_reference_weights(
             else:
                 sd = sd["model"]
 
-    params, frozen = torch_state_dict_to_tree(
+    model_state = jax.device_get(state.model_state) if state.model_state else None
+    out = torch_state_dict_to_tree(
         sd, jax.device_get(state.params), jax.device_get(state.frozen),
-        logger=logger,
+        model_state=model_state, logger=logger,
     )
-    ema_params = (
-        jax.tree_util.tree_map(np.copy, params)
-        if state.ema_params is not None
-        else None
+    params, frozen = out[0], out[1]
+    new_model_state = out[2] if len(out) > 2 else state.model_state
+    copy = lambda t: jax.tree_util.tree_map(np.copy, t)
+    return state.replace(
+        params=params,
+        frozen=frozen,
+        model_state=new_model_state,
+        ema_params=copy(params) if state.ema_params is not None else None,
+        ema_model_state=(
+            copy(new_model_state)
+            if state.ema_model_state is not None else None
+        ),
     )
-    return state.replace(params=params, frozen=frozen, ema_params=ema_params)

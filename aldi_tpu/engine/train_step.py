@@ -217,10 +217,11 @@ def make_train_step(cfg, detector, tx):
                 add(losses, "source_strong", n_ls / n_eff)
 
             if do_align:
-                losses = detector.forward_domain_align(
+                losses, a_aux = detector.forward_domain_align(
                     variables(), micro["uw"]["image"], micro["uw"]["sizes"],
                     mkeys[2], domain_label=0.0,
                 )
+                absorb(a_aux)
                 add(losses, "target_weak", n_uw / n_eff)
 
             if do_distill:

@@ -443,6 +443,15 @@ class DETRDetector:
         self.dtype = compute_dtype(cfg)
         self.canvas = resolve_canvas(cfg)
         dd = cfg.MODEL.DEFORMABLE_DETR
+        # Variant flags the reference exposes (configs/Base-DETR.yaml:14-15)
+        # but every shipped config leaves off. Not implemented here — reject
+        # loudly rather than silently training the base variant.
+        if dd.WITH_BOX_REFINE or dd.TWO_STAGE:
+            raise NotImplementedError(
+                "MODEL.DEFORMABLE_DETR.WITH_BOX_REFINE / TWO_STAGE are not "
+                "implemented in aldi_tpu (no shipped reference config "
+                "enables them); set both to False."
+            )
         self.num_classes = dd.NUM_CLASSES
         t = dd.TRANSFORMER
         self.module = DeformableDETR(
@@ -518,7 +527,7 @@ class DETRDetector:
                              domain_label):
         # reference DETRAlignMixin is a pass-through (no discriminators,
         # ``aldi/detr/align.py:6-7``)
-        return {}
+        return {}, None
 
     def forward_inference(self, variables, images, image_sizes):
         out = self._fwd(variables, images, image_sizes, False)

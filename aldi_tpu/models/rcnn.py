@@ -595,7 +595,7 @@ class RCNNDetector:
             _, _, box_feats = self.box_head(
                 variables, feats, sampled["boxes"], sampled["valid"]
             )
-        return self._align_losses(variables, feats, box_feats, domain_label)
+        return self._align_losses(variables, feats, box_feats, domain_label), None
 
     # ----------------------------------------------------------- inference
     def forward_inference(self, variables, images, image_sizes):

@@ -514,8 +514,13 @@ class YoloDetector:
 
     def forward_domain_align(self, variables, images, image_sizes, rng,
                              domain_label):
-        preds, neck, _ = self._model_fwd(variables, images, True)
-        return self._align_loss(variables, neck, domain_label)
+        # train-mode pass: BN running stats DO update on the target-weak
+        # stream, matching the reference's train-mode target_weak forward
+        # (``aldi/trainer.py:108-109``) — the mutated stats are returned for
+        # the train step to absorb rather than dropped.
+        preds, neck, mutated = self._model_fwd(variables, images, True)
+        aux = {"mutated_vars": mutated}
+        return self._align_loss(variables, neck, domain_label), aux
 
     # ------------------------------------------------------------- teacher
     def forward_inference(self, variables, images, image_sizes):

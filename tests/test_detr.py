@@ -134,3 +134,14 @@ def test_detr_daod_step_hard_distill():
     np.testing.assert_array_equal(
         np.asarray(state.ema_params["query_embed"]), pre_qe
     )
+
+
+def test_detr_unimplemented_variants_rejected():
+    # WITH_BOX_REFINE / TWO_STAGE are accepted config keys (reference
+    # configs/Base-DETR.yaml:14-15) but unimplemented — build must fail
+    # loudly instead of silently training the base variant.
+    for key in ("WITH_BOX_REFINE", "TWO_STAGE"):
+        cfg = detr_cfg(**{f"MODEL.DEFORMABLE_DETR.{key}": True})
+        cfg.freeze()
+        with pytest.raises(NotImplementedError, match=key.split("_")[0]):
+            build_detector(cfg)
