@@ -52,15 +52,17 @@ def _iou_xywh(dets: np.ndarray, gts: np.ndarray, iscrowd: np.ndarray
 
 def _evaluate_image(dets: List[dict], gts: List[dict], area_rng) -> dict:
     """Greedy matching for one (image, category): COCOeval.evaluateImg."""
-    gts = sorted(gts, key=lambda g: g.get("_ignore", 0))  # clean gt first
-    g_ignore = np.array(
-        [
+    # area-conditioned ignore BEFORE sorting: pycocotools sorts gt by the
+    # per-areaRng _ignore (clean in-range gt first), which sets the
+    # tie-break order during matching
+    def full_ignore(g):
+        return bool(
             g.get("_ignore", 0)
             or not (area_rng[0] <= g["area"] <= area_rng[1])
-            for g in gts
-        ],
-        bool,
-    )
+        )
+
+    gts = sorted(gts, key=full_ignore)  # stable: clean gt first
+    g_ignore = np.array([full_ignore(g) for g in gts], bool)
     iscrowd = np.array([bool(g.get("iscrowd", 0)) for g in gts])
     dets = sorted(dets, key=lambda d: -d["score"])[:MAX_DETS]
 
@@ -125,7 +127,8 @@ def evaluate_detections(
     for img_id in image_ids:
         for g in annotations[img_id]:
             g = dict(g)
-            g["_ignore"] = g.get("iscrowd", 0)
+            # pycocotools _prepare: gt ignored if crowd OR flagged "ignore"
+            g["_ignore"] = g.get("iscrowd", 0) or g.get("ignore", 0)
             g.setdefault("area", g["bbox"][2] * g["bbox"][3])
             gts_by[(img_id, g["category_id"])].append(g)
 
