@@ -34,13 +34,15 @@ def load_coco_json(json_file: str, image_root: str, dataset_name: str = None
     for img in coco["images"]:
         anns = []
         for ann in anns_by_image.get(img["id"], []):
-            if ann.get("ignore", 0):
-                continue
             anns.append(
                 {
                     "bbox": ann["bbox"],  # XYWH
                     "category_id": id_map[ann["category_id"]],
                     "iscrowd": ann.get("iscrowd", 0),
+                    # kept (not dropped): evaluation treats these as ignore
+                    # regions per the pycocotools protocol; training filters
+                    # them out (transforms.py)
+                    "ignore": ann.get("ignore", 0),
                     "area": ann.get(
                         "area", ann["bbox"][2] * ann["bbox"][3]
                     ),

@@ -204,8 +204,16 @@ class TestLoader:
     image coordinates (the reference does this in GeneralizedRCNN
     postprocess; we do it host-side in the evaluator)."""
 
-    def __init__(self, dataset_name: str, cfg, canvas, batch_size: int = 8):
+    def __init__(self, dataset_name: str, cfg, canvas, batch_size: int = 8,
+                 shard=None):
         self.records = DatasetCatalog.get(dataset_name)
+        if shard is not None:
+            # (rank, world): strided test-set shard for multi-host eval —
+            # each process scores its slice, predictions are gathered before
+            # AP computation (reference COCOEvaluator(distributed=True),
+            # aldi/helpers.py:77)
+            rank, world = shard
+            self.records = self.records[rank::world]
         self.cfg = cfg
         self.canvas = tuple(canvas)
         self.batch_size = batch_size

@@ -113,7 +113,10 @@ def transform_record(
     Returns {image uint8 [H,W,3], sizes [2], boxes [G,4], classes [G],
     valid [G], image_id, scale}.
     """
-    anns_src = [a for a in record.get("annotations", []) if not a["iscrowd"]]
+    anns_src = [
+        a for a in record.get("annotations", [])
+        if not a["iscrowd"] and not a.get("ignore", 0)
+    ]
     do_crop = bool(is_train and crop and crop.get("enabled"))
 
     if is_train and sampling == "range" and len(min_sizes) == 2:

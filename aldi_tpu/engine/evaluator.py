@@ -19,11 +19,54 @@ from ..data.loader import TestLoader
 from .coco_eval import evaluate_detections
 
 
+def gather_predictions(predictions: Dict[int, list]) -> Dict[int, list]:
+    """All-gather per-image predictions across JAX processes so every host
+    scores the full test set (reference ``COCOEvaluator(distributed=True)``
+    gathers to the main process, ``aldi/helpers.py:77``).
+
+    Predictions are packed as fixed-width rows (image_id | bbox | score |
+    category) and padded to the max per-process count, then exchanged with
+    ``multihost_utils.process_allgather`` over the ICI/DCN fabric."""
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return predictions
+    from jax.experimental import multihost_utils
+
+    rows = [
+        [float(img_id), *d["bbox"], d["score"], float(d["category_id"])]
+        for img_id, dets in predictions.items()
+        for d in dets
+    ]
+    local = np.asarray(rows, np.float32).reshape(-1, 7)
+    n = np.asarray([local.shape[0]], np.int32)
+    n_all = multihost_utils.process_allgather(n).reshape(-1)
+    cap = int(n_all.max())
+    padded = np.zeros((cap, 7), np.float32)
+    padded[: local.shape[0]] = local
+    gathered = multihost_utils.process_allgather(padded)  # [P, cap, 7]
+    out = defaultdict(list)
+    for p in range(gathered.shape[0]):
+        for row in gathered[p, : int(n_all[p])]:
+            out[int(row[0])].append(
+                {
+                    "bbox": [float(x) for x in row[1:5]],
+                    "score": float(row[5]),
+                    "category_id": int(row[6]),
+                }
+            )
+    return out
+
+
 def inference_on_dataset(
     detector, variables, dataset_name: str, cfg, batch_size: int = 8,
-    logger=None,
+    logger=None, distributed: bool = True, shard=None,
 ) -> Dict[str, float]:
-    loader = TestLoader(dataset_name, cfg, detector.canvas, batch_size)
+    if shard is None and distributed and jax.process_count() > 1:
+        shard = (jax.process_index(), jax.process_count())
+    loader = TestLoader(
+        dataset_name, cfg, detector.canvas, batch_size, shard=shard
+    )
     md = MetadataCatalog.get(dataset_name)
 
     fwd = jax.jit(detector.forward_inference)
@@ -50,6 +93,7 @@ def inference_on_dataset(
                 )
             n_images += 1
     infer_time = time.time() - t0
+    predictions = gather_predictions(predictions)
 
     # ground truth in contiguous category ids
     from ..data.catalog import DatasetCatalog
@@ -61,6 +105,7 @@ def inference_on_dataset(
                 "bbox": a["bbox"],
                 "category_id": a["category_id"],
                 "iscrowd": a["iscrowd"],
+                "ignore": a.get("ignore", 0),
                 "area": a["area"],
             }
             for a in r["annotations"]

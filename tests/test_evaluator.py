@@ -80,3 +80,53 @@ def test_evaluator_scale_mapping_perfect_ap(tmp_path):
     assert results["bbox/AP50"] > 99.0, results
     assert results["bbox/AP"] > 95.0, results
     assert "images_per_sec" in results
+
+
+def test_testloader_shard_partitions(tmp_path):
+    register_synthetic(os.path.join(str(tmp_path), "d2"), prefix="shardsynth")
+    cfg = get_cfg()
+    cfg.TPU.MAX_GT = 8
+    cfg.freeze()
+    from aldi_tpu.data.catalog import DatasetCatalog
+    from aldi_tpu.data.loader import TestLoader
+
+    full = [r["image_id"] for r in DatasetCatalog.get("shardsynth_val")]
+    parts = []
+    for rank in range(3):
+        l = TestLoader("shardsynth_val", cfg, (64, 64), shard=(rank, 3))
+        parts.extend(r["image_id"] for r in l.records)
+    assert sorted(parts) == sorted(full)
+    assert len(set(parts)) == len(full)
+
+
+def test_gather_predictions_simulated_two_processes(monkeypatch):
+    """Simulate 2 JAX processes: process_allgather is stubbed to append a
+    second process's packed rows; the merged dict must contain both."""
+    import numpy as np
+    import jax as _jax
+    from jax.experimental import multihost_utils
+    from aldi_tpu.engine import evaluator as ev
+
+    local = {1: [{"bbox": [1.0, 2.0, 3.0, 4.0], "score": 0.5,
+                  "category_id": 2}]}
+    other_rows = np.asarray(
+        [[7.0, 10.0, 20.0, 30.0, 40.0, 0.25, 1.0],
+         [1.0, 5.0, 6.0, 7.0, 8.0, 0.75, 0.0]], np.float32)
+
+    monkeypatch.setattr(_jax, "process_count", lambda: 2)
+
+    def fake_allgather(x):
+        x = np.asarray(x)
+        if x.ndim == 1:  # counts
+            return np.stack([x, np.asarray([len(other_rows)], np.int32)])
+        cap = x.shape[0]
+        padded = np.zeros((cap, 7), np.float32)
+        padded[: len(other_rows)] = other_rows[:cap]
+        return np.stack([x, padded])
+
+    monkeypatch.setattr(multihost_utils, "process_allgather", fake_allgather)
+    merged = ev.gather_predictions(local)
+    assert len(merged[1]) == 2  # own + other process's image-1 det
+    assert len(merged[7]) == 1
+    scores = sorted(d["score"] for d in merged[1])
+    assert scores == [0.5, 0.75]
