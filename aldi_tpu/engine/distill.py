@@ -32,18 +32,21 @@ from ..ops.losses import (
 
 
 def rpn_distill_losses(
-    student_logits: jnp.ndarray,  # [B, R]
-    student_deltas: jnp.ndarray,  # [B, R, 4]
-    teacher_logits: jnp.ndarray,  # [B, R]
-    teacher_deltas: jnp.ndarray,  # [B, R, 4]
-    anchor_labels: jnp.ndarray,  # [B, R] in {-1, 0, 1} vs pseudo-GT
+    student_logits: jnp.ndarray,  # [B, K] at the sampled anchors
+    student_deltas: jnp.ndarray,  # [B, K, 4]
+    teacher_logits: jnp.ndarray,  # [B, K]
+    teacher_deltas: jnp.ndarray,  # [B, K, 4]
+    valid: jnp.ndarray,  # [B, K] sampled (pos or neg) vs pseudo-GT
+    fg: jnp.ndarray,  # [B, K] sampled positives
     obj_temperature: float = 1.0,
     do_obj: bool = True,
     do_reg: bool = True,
 ) -> dict:
+    """Inputs are pre-gathered at the K anchors sampled against pseudo-GT
+    (reference distills over ``label_and_sample_anchors``'s sampled set,
+    ``aldi/distill.py:198-216``; means over the sampled/fg sets are
+    identical to the dense masked means, without the [B, 765k] tensors)."""
     out = {}
-    valid = anchor_labels >= 0
-    fg = anchor_labels == 1
     if do_obj:
         t_probs = jax.nn.sigmoid(teacher_logits / obj_temperature)
         obj = bce_with_logits(student_logits, t_probs)

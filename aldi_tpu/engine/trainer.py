@@ -146,6 +146,10 @@ class ALDITrainer:
         self.storage.iter = start
 
         data_t0 = time.time()
+        # throughput over the whole write window, not a single synced step:
+        # a per-step time around the blocking device_get double-counts the
+        # async dispatch pipeline and understates steady-state img/s
+        win_t0, win_iters = time.time(), 0
         for it in range(start, max_iter):
             batch = next(self.loader)
             data_time = time.time() - data_t0
@@ -161,8 +165,8 @@ class ALDITrainer:
                     )
 
             step_key = jax.random.fold_in(self.train_key, it)
-            step_t0 = time.time()
             self.state, metrics = self.step_fn(self.state, batch, step_key)
+            win_iters += 1
 
             if cfg.VIS_PERIOD and (it + 1) % cfg.VIS_PERIOD == 0:
                 self._visualize(batch, it + 1)
@@ -172,9 +176,9 @@ class ALDITrainer:
                 host_metrics = {
                     k: float(v) for k, v in jax.device_get(metrics).items()
                 }
-                step_time = time.time() - step_t0
+                elapsed = time.time() - win_t0
                 host_metrics["images_per_sec"] = (
-                    cfg.SOLVER.IMS_PER_BATCH / max(step_time, 1e-9)
+                    cfg.SOLVER.IMS_PER_BATCH * win_iters / max(elapsed, 1e-9)
                 )
                 host_metrics["data_time"] = data_time
                 self.storage.put_scalars(**host_metrics)
@@ -185,12 +189,15 @@ class ALDITrainer:
                     raise FloatingPointError(
                         f"Loss became {total} at iteration {it}"
                     )
+                win_t0, win_iters = time.time(), 0
 
             next_it = it + 1
             if cfg.TEST.EVAL_PERIOD and next_it % cfg.TEST.EVAL_PERIOD == 0:
                 self._eval_and_track_best()
+                win_t0, win_iters = time.time(), 0  # exclude eval time
             if next_it % cfg.SOLVER.CHECKPOINT_PERIOD == 0 or next_it == max_iter:
                 self.checkpointer.save(self.state)
+                win_t0, win_iters = time.time(), 0  # exclude ckpt time
             data_t0 = time.time()
 
         if cfg.TEST.EVAL_PERIOD:

@@ -33,7 +33,12 @@ from .roi_heads import (
     fast_rcnn_losses,
     sample_proposals,
 )
-from .rpn import StandardRPNHead, generate_proposals, label_anchors, rpn_losses
+from .rpn import (
+    StandardRPNHead,
+    generate_proposals,
+    label_anchors_sampled,
+    rpn_losses,
+)
 
 
 @jax.custom_vjp
@@ -338,10 +343,11 @@ class RCNNDetector:
             box_reg_weights=self.rpn_params["box_reg_weights"],
         )
 
-    def box_head(self, variables, features, boxes, valid):
+    def box_head(self, variables, features, boxes, valid,
+                 pool_mode: str = "corner_gather"):
         pooled = box_pooler(
             features[:-1], boxes, valid, self.roi_strides,
-            self.pooler_resolution,
+            self.pooler_resolution, mode=pool_mode,
         )
         return self.module.apply(variables, pooled, method=RCNN.box_fwd)
 
@@ -475,18 +481,29 @@ class RCNNDetector:
             *dets, threshold=threshold, max_gt=max_gt
         )
         d = self.cfg.DOMAIN_ADAPT.DISTILL
-        anchor_labels = None
+        anchor_idx = anchor_valid = anchor_fg = None
+        t_obj = t_delta = None
         if d.OBJ_ENABLED or d.RPN_REG_ENABLED:
-            anchor_labels, _ = label_anchors(
+            # sample the distill anchor set against pseudo-GT (the reference
+            # re-runs label_and_sample_anchors, aldi/distill.py:198-204) and
+            # pre-gather the teacher head outputs at it — the distill loss
+            # then never touches [B, 765k] tensors
+            anchor_idx, anchor_valid, anchor_fg, _ = label_anchors_sampled(
                 rng, self.anchors_cat, pseudo_gt.boxes, pseudo_gt.valid,
                 batch_size_per_image=self.rpn_params["batch_size_per_image"],
                 positive_fraction=self.rpn_params["positive_fraction"],
             )
+            t_obj = jnp.take_along_axis(rpn_logits, anchor_idx, axis=1)
+            t_delta = jnp.take_along_axis(
+                rpn_deltas, anchor_idx[..., None], axis=1
+            )
         ctx = {
             "feats": feats,
-            "rpn_logits": rpn_logits,
-            "rpn_deltas": rpn_deltas,
-            "anchor_labels": anchor_labels,
+            "anchor_idx": anchor_idx,
+            "anchor_valid": anchor_valid,
+            "anchor_fg": anchor_fg,
+            "t_obj": t_obj,
+            "t_delta": t_delta,
         }
         metrics = {
             "num_pseudo_labels": pseudo_gt.valid.sum()
@@ -506,16 +523,20 @@ class RCNNDetector:
         sampled = jax.lax.stop_gradient(s_aux["sampled"])
         t_cls, t_deltas, _ = self.box_head(
             teacher_variables, ctx["feats"], sampled["boxes"],
-            sampled["valid"],
+            sampled["valid"], pool_mode="slice2x2",
         )
         t_cls = jax.lax.stop_gradient(t_cls.astype(jnp.float32))
         t_deltas = jax.lax.stop_gradient(t_deltas.astype(jnp.float32))
         if d.OBJ_ENABLED or d.RPN_REG_ENABLED:
+            idx = ctx["anchor_idx"]
+            s_obj = jnp.take_along_axis(s_aux["rpn_logits"], idx, axis=1)
+            s_delta = jnp.take_along_axis(
+                s_aux["rpn_deltas"], idx[..., None], axis=1
+            )
             out.update(
                 rpn_distill_losses(
-                    s_aux["rpn_logits"], s_aux["rpn_deltas"],
-                    ctx["rpn_logits"], ctx["rpn_deltas"],
-                    ctx["anchor_labels"],
+                    s_obj, s_delta, ctx["t_obj"], ctx["t_delta"],
+                    ctx["anchor_valid"], ctx["anchor_fg"],
                     obj_temperature=d.OBJ_TMP,
                     do_obj=d.OBJ_ENABLED,
                     do_reg=d.RPN_REG_ENABLED,
@@ -552,7 +573,7 @@ class RCNNDetector:
         )
         pboxes, _, pvalid = self.proposals(logits, deltas, image_sizes, False)
         cls_logits, box_deltas, _ = self.box_head(
-            variables, feats, pboxes, pvalid
+            variables, feats, pboxes, pvalid, pool_mode="slice2x2"
         )
         t = self.cfg.TEST
         r = self.cfg.MODEL.ROI_HEADS
@@ -608,7 +629,7 @@ class RCNNDetector:
         logits, deltas = self.rpn_head(variables, feats)
         pboxes, _, pvalid = self.proposals(logits, deltas, image_sizes, False)
         cls_logits, box_deltas, _ = self.box_head(
-            variables, feats, pboxes, pvalid
+            variables, feats, pboxes, pvalid, pool_mode="slice2x2"
         )
         t = self.cfg.TEST
         r = self.cfg.MODEL.ROI_HEADS

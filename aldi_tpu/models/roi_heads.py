@@ -122,9 +122,16 @@ def sample_proposals(
     )
 
 
-def box_pooler(features, boxes, valid, strides, resolution=7):
-    """Multi-level ROIAlign -> [B, S, res, res, C]."""
-    return roi_align_batched(features, boxes, valid, strides, resolution)
+def box_pooler(features, boxes, valid, strides, resolution=7,
+               mode="corner_gather"):
+    """Multi-level ROIAlign -> [B, S, res, res, C].
+
+    mode="slice2x2" is the fast forward-only formulation (one (2, 2C)
+    slice-gather per sample); its backward is an overlapping-window
+    scatter-add that XLA serializes, so it is used only on no-grad paths
+    (teacher / inference)."""
+    return roi_align_batched(features, boxes, valid, strides, resolution,
+                             mode=mode)
 
 
 def fast_rcnn_losses(

@@ -115,6 +115,63 @@ def label_anchors(
     return jax.vmap(per_image)(keys, gt_boxes, gt_valid)
 
 
+def label_anchors_sampled(
+    key,
+    anchors: jnp.ndarray,  # [R, 4]
+    gt_boxes: jnp.ndarray,  # [B, G, 4]
+    gt_valid: jnp.ndarray,  # [B, G]
+    batch_size_per_image: int = 256,
+    positive_fraction: float = 0.5,
+    thresholds=(0.3, 0.7),
+):
+    """label_anchors + conversion of the sampled pos/neg masks to exactly
+    ``batch_size_per_image`` indices per image.
+
+    Returns (idx [B, K], valid [B, K], is_pos [B, K], matched_gt [B, K, 4]):
+    the loss then runs on the K sampled anchors only instead of masked
+    reductions over all ~765k — the dense [B, R(, 4)] loss/label tensors and
+    their backward never materialize (same math: the fixed normalizer is
+    batch_size_per_image, substrate semantics).
+    """
+    use_pallas = (
+        jax.default_backend() == "tpu" and gt_boxes.shape[1] <= 128
+        and anchors.shape[0] >= 4096
+    )
+    k = min(batch_size_per_image, anchors.shape[0])
+
+    def per_image(ks, gtb, gtv):
+        k_sub, k_fix = jax.random.split(ks)
+        if use_pallas:
+            from ..ops.pallas_match import match_boxes_pallas
+
+            midx, mlab = match_boxes_pallas(
+                anchors, gtb, gtv, list(thresholds), [0, -1, 1],
+                allow_low_quality=True,
+            )
+        else:
+            iou = box_ops.pairwise_iou(anchors, gtb)
+            midx, mlab = matcher_ops.match(
+                iou, gtv, list(thresholds), [0, -1, 1],
+                allow_low_quality=True,
+            )
+        pos, neg = matcher_ops.subsample_labels(
+            k_sub, mlab.astype(jnp.int32), k, positive_fraction, bg_label=0,
+        )
+        idx, valid, is_pos = matcher_ops.sample_fixed_indices(
+            k_fix, pos, neg, k
+        )
+        return idx, valid, is_pos, gtb[midx[idx]]
+
+    keys = jax.random.split(key, gt_boxes.shape[0])
+    if use_pallas:  # batch as a static loop: the kernel is not vmapped
+        outs = [
+            per_image(keys[b], gt_boxes[b], gt_valid[b])
+            for b in range(gt_boxes.shape[0])
+        ]
+        return tuple(jnp.stack([o[i] for o in outs]) for i in range(4))
+    return jax.vmap(per_image)(keys, gt_boxes, gt_valid)
+
+
 def rpn_losses(
     key,
     anchors: jnp.ndarray,  # [R, 4]
@@ -129,24 +186,26 @@ def rpn_losses(
 ) -> dict:
     """Substrate RPN losses: objectness BCE over sampled anchors and
     smooth-L1 anchor-delta regression over positives, each normalized by
-    B * batch_size_per_image."""
-    labels, matched_gt = label_anchors(
+    B * batch_size_per_image. Computed on the K sampled anchors only (the
+    backward is a K-row scatter into the head outputs, not a dense [B, R]
+    elementwise chain)."""
+    idx, valid, is_pos, matched_gt = label_anchors_sampled(
         key, anchors, gt_boxes, gt_valid, batch_size_per_image,
         positive_fraction,
     )
     b = logits.shape[0]
     normalizer = b * batch_size_per_image
-    valid = labels >= 0
-    pos = labels == 1
 
-    obj = bce_with_logits(logits.astype(jnp.float32), pos.astype(jnp.float32))
+    lg = jnp.take_along_axis(logits, idx, axis=1).astype(jnp.float32)
+    obj = bce_with_logits(lg, is_pos.astype(jnp.float32))
     loss_cls = (obj * valid).sum() / normalizer
 
-    target = box_ops.encode_deltas(
-        jnp.broadcast_to(anchors, matched_gt.shape), matched_gt, box_reg_weights
-    )
-    reg = smooth_l1(deltas.astype(jnp.float32), target, smooth_l1_beta).sum(-1)
-    loss_loc = (reg * pos).sum() / normalizer
+    dl = jnp.take_along_axis(
+        deltas, idx[..., None], axis=1
+    ).astype(jnp.float32)  # [B, K, 4]
+    target = box_ops.encode_deltas(anchors[idx], matched_gt, box_reg_weights)
+    reg = smooth_l1(dl, target, smooth_l1_beta).sum(-1)
+    loss_loc = (reg * is_pos).sum() / normalizer
     return {"loss_rpn_cls": loss_cls, "loss_rpn_loc": loss_loc}
 
 

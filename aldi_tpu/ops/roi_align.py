@@ -218,7 +218,7 @@ def roi_align(
 
 
 def roi_align_batched(features, boxes, box_valid, strides, output_size=7,
-                      sampling_ratio=2):
+                      sampling_ratio=2, mode="corner_gather"):
     """vmap over the batch dim: features per-level [B, H, W, C], boxes
     [B, P, 4], box_valid [B, P] -> [B, P, out, out, C]."""
     fn = partial(
@@ -226,6 +226,7 @@ def roi_align_batched(features, boxes, box_valid, strides, output_size=7,
         strides=strides,
         output_size=output_size,
         sampling_ratio=sampling_ratio,
+        mode=mode,
     )
     return jax.vmap(lambda fs, b, v: fn(list(fs), b, v))(
         tuple(features), boxes, box_valid

@@ -30,10 +30,11 @@ def test_rpn_obj_distill_matches_manual():
     # 1 image, 4 anchors: labels [1, 0, -1, 0] -> valid = [T,T,F,T]
     s_logits = jnp.asarray([[0.5, -1.0, 2.0, 0.0]])
     t_logits = jnp.asarray([[1.0, -2.0, 0.0, 1.5]])
-    labels = jnp.asarray([[1, 0, -1, 0]], jnp.int8)
+    valid = jnp.asarray([[True, True, False, True]])
+    fg = jnp.asarray([[True, False, False, False]])
     out = rpn_distill_losses(
         s_logits, jnp.zeros((1, 4, 4)), t_logits, jnp.zeros((1, 4, 4)),
-        labels, obj_temperature=2.0, do_obj=True, do_reg=False,
+        valid, fg, obj_temperature=2.0, do_obj=True, do_reg=False,
     )
     t_probs = sigmoid(np.asarray(t_logits) / 2.0)
     manual = np.mean(
@@ -44,13 +45,14 @@ def test_rpn_obj_distill_matches_manual():
 
 
 def test_rpn_reg_distill_fg_only_l1():
-    labels = jnp.asarray([[1, 0, 1, -1]], jnp.int8)
+    valid = jnp.asarray([[True, True, True, False]])
+    fg = jnp.asarray([[True, False, True, False]])
     sd = jnp.asarray([[[1.0, 2, 3, 4], [9, 9, 9, 9], [0, 0, 0, 0],
                        [5, 5, 5, 5]]])
     td = jnp.asarray([[[0.0, 0, 0, 0], [1, 1, 1, 1], [1, 1, 1, 1],
                        [0, 0, 0, 0]]])
     out = rpn_distill_losses(
-        jnp.zeros((1, 4)), sd, jnp.zeros((1, 4)), td, labels,
+        jnp.zeros((1, 4)), sd, jnp.zeros((1, 4)), td, valid, fg,
         do_obj=False, do_reg=True,
     )
     # fg anchors 0 and 2; elementwise |s-t| mean over fg*4 elements

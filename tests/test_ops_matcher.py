@@ -67,3 +67,57 @@ def test_sample_fixed_indices():
     # sampled indices must point at sampled elements
     chosen = np.asarray(idx)[np.asarray(valid)]
     assert set(chosen) == set(range(16))
+
+
+def test_rpn_losses_sampled_equals_dense():
+    """The sampled-index rpn_losses (K gathered anchors) must equal the
+    dense masked-reduction formulation on the same sampled set."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aldi_tpu.models.rpn import label_anchors_sampled
+    from aldi_tpu.ops import boxes as box_ops
+    from aldi_tpu.ops.losses import bce_with_logits, smooth_l1
+    from aldi_tpu.models.rpn import rpn_losses
+
+    rng = np.random.default_rng(0)
+    n, b, g = 500, 2, 5
+    anchors = rng.uniform(0, 200, (n, 4)).astype(np.float32)
+    anchors[:, 2:] = anchors[:, :2] + rng.uniform(5, 40, (n, 2))
+    gtb = rng.uniform(0, 200, (b, g, 4)).astype(np.float32)
+    gtb[..., 2:] = gtb[..., :2] + rng.uniform(10, 50, (b, g, 2))
+    gtv = np.ones((b, g), bool)
+    logits = jnp.asarray(rng.normal(size=(b, n)).astype(np.float32))
+    deltas = jnp.asarray(rng.normal(size=(b, n, 4)).astype(np.float32) * 0.1)
+    key = jax.random.PRNGKey(3)
+    k = 64
+
+    out = rpn_losses(key, jnp.asarray(anchors), logits, deltas,
+                     jnp.asarray(gtb), jnp.asarray(gtv),
+                     batch_size_per_image=k)
+
+    idx, valid, is_pos, matched_gt = label_anchors_sampled(
+        key, jnp.asarray(anchors), jnp.asarray(gtb), jnp.asarray(gtv), k)
+    # dense reference: scatter the sampled set back to [B, N] masks
+    dense_cls = 0.0
+    dense_loc = 0.0
+    for bi in range(b):
+        for j in range(k):
+            if not bool(valid[bi, j]):
+                continue
+            a = int(idx[bi, j])
+            p = float(is_pos[bi, j])
+            o = float(bce_with_logits(logits[bi, a].astype(jnp.float32),
+                                      jnp.asarray(p)))
+            dense_cls += o
+            if p:
+                t = box_ops.encode_deltas(
+                    jnp.asarray(anchors[a]), matched_gt[bi, j],
+                    (1.0, 1.0, 1.0, 1.0))
+                dense_loc += float(
+                    smooth_l1(deltas[bi, a].astype(jnp.float32), t, 0.0).sum())
+    np.testing.assert_allclose(float(out["loss_rpn_cls"]),
+                               dense_cls / (b * k), rtol=1e-4)
+    np.testing.assert_allclose(float(out["loss_rpn_loc"]),
+                               dense_loc / (b * k), rtol=1e-4)
