@@ -327,6 +327,11 @@ def get_default_cfg() -> CN:
     _C.TPU.GRAD_ACCUM = 1
     # Host data pipeline worker threads
     _C.TPU.DATA_THREADS = 8
+    # ROIAlign formulation on no-grad paths (teacher/inference):
+    # "corner_gather" | "slice2x2" (see ops/roi_align.py)
+    _C.TPU.EVAL_POOL_MODE = "corner_gather"
+    # RPN loss formulation: "sampled" (K gathered anchors) | "dense"
+    _C.TPU.RPN_LOSS_IMPL = "sampled"
     # jax.profiler trace output dir; traces iterations [10, 13) when set
     _C.TPU.PROFILE_DIR = ""
     # Prefetch depth (batches) from host to device

@@ -38,6 +38,7 @@ from .rpn import (
     generate_proposals,
     label_anchors_sampled,
     rpn_losses,
+    rpn_losses_dense,
 )
 
 
@@ -387,8 +388,12 @@ class RCNNDetector:
         )
 
         losses = {}
+        rpn_loss_fn = (
+            rpn_losses if self.cfg.TPU.RPN_LOSS_IMPL == "sampled"
+            else rpn_losses_dense
+        )
         losses.update(
-            rpn_losses(
+            rpn_loss_fn(
                 k_rpn, self.anchors_cat, logits_cat, deltas_cat,
                 gt.boxes, gt.valid, **self.rpn_params,
             )
@@ -398,6 +403,11 @@ class RCNNDetector:
             pboxes, pscores, pvalid = self.proposals(
                 logits, deltas, image_sizes, train=True
             )
+            # proposals are constants to the ROI stage (substrate detaches
+            # proposal boxes); without this, gradients flow back through
+            # ROIAlign coordinates -> box decode -> NMS/top-k — wrong
+            # semantics and an expensive scatter-heavy backward
+            pboxes = jax.lax.stop_gradient(pboxes)
             sampled = sample_proposals(
                 k_roi, pboxes, pvalid, gt.boxes, gt.classes, gt.valid,
                 **self.roi_sample_params,
@@ -523,7 +533,7 @@ class RCNNDetector:
         sampled = jax.lax.stop_gradient(s_aux["sampled"])
         t_cls, t_deltas, _ = self.box_head(
             teacher_variables, ctx["feats"], sampled["boxes"],
-            sampled["valid"], pool_mode="slice2x2",
+            sampled["valid"], pool_mode=self.cfg.TPU.EVAL_POOL_MODE,
         )
         t_cls = jax.lax.stop_gradient(t_cls.astype(jnp.float32))
         t_deltas = jax.lax.stop_gradient(t_deltas.astype(jnp.float32))
@@ -573,7 +583,7 @@ class RCNNDetector:
         )
         pboxes, _, pvalid = self.proposals(logits, deltas, image_sizes, False)
         cls_logits, box_deltas, _ = self.box_head(
-            variables, feats, pboxes, pvalid, pool_mode="slice2x2"
+            variables, feats, pboxes, pvalid, pool_mode=self.cfg.TPU.EVAL_POOL_MODE
         )
         t = self.cfg.TEST
         r = self.cfg.MODEL.ROI_HEADS
@@ -604,6 +614,7 @@ class RCNNDetector:
         if self.cfg.DOMAIN_ADAPT.ALIGN.INS_DA_ENABLED:
             logits, deltas = self.rpn_head(variables, feats)
             pboxes, _, pvalid = self.proposals(logits, deltas, image_sizes, True)
+            pboxes = jax.lax.stop_gradient(pboxes)
             b = images.shape[0]
             g = 1  # empty gt set
             empty_boxes = jnp.zeros((b, g, 4), jnp.float32)
@@ -629,7 +640,7 @@ class RCNNDetector:
         logits, deltas = self.rpn_head(variables, feats)
         pboxes, _, pvalid = self.proposals(logits, deltas, image_sizes, False)
         cls_logits, box_deltas, _ = self.box_head(
-            variables, feats, pboxes, pvalid, pool_mode="slice2x2"
+            variables, feats, pboxes, pvalid, pool_mode=self.cfg.TPU.EVAL_POOL_MODE
         )
         t = self.cfg.TEST
         r = self.cfg.MODEL.ROI_HEADS

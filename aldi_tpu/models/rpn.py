@@ -115,6 +115,42 @@ def label_anchors(
     return jax.vmap(per_image)(keys, gt_boxes, gt_valid)
 
 
+def rpn_losses_dense(
+    key,
+    anchors: jnp.ndarray,  # [R, 4]
+    logits: jnp.ndarray,  # [B, R]
+    deltas: jnp.ndarray,  # [B, R, 4]
+    gt_boxes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    batch_size_per_image: int = 256,
+    positive_fraction: float = 0.5,
+    box_reg_weights=(1.0, 1.0, 1.0, 1.0),
+    smooth_l1_beta: float = 0.0,
+) -> dict:
+    """Dense masked-reduction formulation of the RPN losses (same math as
+    rpn_losses; kept selectable via TPU.RPN_LOSS_IMPL for perf A/B — the
+    dense [B, R(, 4)] loss chains are what the sampled form eliminates)."""
+    labels, matched_gt = label_anchors(
+        key, anchors, gt_boxes, gt_valid, batch_size_per_image,
+        positive_fraction,
+    )
+    b = logits.shape[0]
+    normalizer = b * batch_size_per_image
+    valid = labels >= 0
+    pos = labels == 1
+
+    obj = bce_with_logits(logits.astype(jnp.float32), pos.astype(jnp.float32))
+    loss_cls = (obj * valid).sum() / normalizer
+
+    target = box_ops.encode_deltas(
+        jnp.broadcast_to(anchors, matched_gt.shape), matched_gt,
+        box_reg_weights,
+    )
+    reg = smooth_l1(deltas.astype(jnp.float32), target, smooth_l1_beta).sum(-1)
+    loss_loc = (reg * pos).sum() / normalizer
+    return {"loss_rpn_cls": loss_cls, "loss_rpn_loc": loss_loc}
+
+
 def label_anchors_sampled(
     key,
     anchors: jnp.ndarray,  # [R, 4]

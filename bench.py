@@ -57,6 +57,13 @@ def build_cfg(canvas, batch_per_chip):
     cfg.AUG.UNLABELED_MIC_AUG = True
     cfg.TPU.CANVAS = canvas
     cfg.TPU.MAX_GT = 100
+    # perf A/B knobs (see config/defaults.py TPU block)
+    cfg.TPU.EVAL_POOL_MODE = os.environ.get(
+        "BENCH_EVAL_POOL", cfg.TPU.EVAL_POOL_MODE
+    )
+    cfg.TPU.RPN_LOSS_IMPL = os.environ.get(
+        "BENCH_RPN_IMPL", cfg.TPU.RPN_LOSS_IMPL
+    )
     return cfg
 
 
