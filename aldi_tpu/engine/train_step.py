@@ -57,29 +57,35 @@ class TrainState:
 
 
 def create_train_state(cfg, detector, rng) -> tuple:
-    """Initialize model variables + optimizer. Returns (state, optimizer)."""
+    """Initialize model variables + optimizer. Returns (state, optimizer).
+
+    The whole state construction runs under jit: un-jitted optax init and
+    per-leaf tree copies dispatch one RPC per leaf on a remote-device
+    backend (~150 ms each through the tunnel)."""
     variables = detector.init_variables(rng)
     params = variables["params"]
-    frozen = variables.get("frozen", {})
-    model_state = {
-        k: v for k, v in variables.items() if k not in ("params", "frozen")
-    }
     tx = build_optimizer(cfg, params)
-    opt_state = tx.init(params)
-    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
     use_ema = cfg.EMA.ENABLED
-    return (
-        TrainState(
+
+    @jax.jit
+    def make_state(variables):
+        params = variables["params"]
+        frozen = variables.get("frozen", {})
+        model_state = {
+            k: v for k, v in variables.items() if k not in ("params", "frozen")
+        }
+        copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+        return TrainState(
             step=jnp.asarray(0, jnp.int32),
             params=params,
             frozen=frozen,
-            opt_state=opt_state,
+            opt_state=tx.init(params),
             ema_params=copy(params) if use_ema else None,
             model_state=model_state,
             ema_model_state=copy(model_state) if use_ema else None,
-        ),
-        tx,
-    )
+        )
+
+    return make_state(variables), tx
 
 
 def _gt_from_batch(stream: dict) -> Instances:

@@ -483,7 +483,7 @@ class DETRDetector:
         x = jnp.zeros((batch_size, *self.canvas, 3), self.dtype)
         sizes = jnp.asarray([[self.canvas[0], self.canvas[1]]] * batch_size,
                             jnp.int32)
-        return self.module.init(rng, x, sizes)
+        return jax.jit(self.module.init)(rng, x, sizes)  # see rcnn.py note
 
     def preprocess(self, images):
         x = (images.astype(jnp.float32) - self.pixel_mean) / self.pixel_std

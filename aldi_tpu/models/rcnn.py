@@ -312,7 +312,9 @@ class RCNNDetector:
         images = jnp.zeros(
             (batch_size, self.canvas[0], self.canvas[1], 3), self.dtype
         )
-        return self.module.init(rng, images)
+        # jit the init: flax's un-jitted init dispatches op-by-op — minutes
+        # of pure RPC latency through a remote-device tunnel at this canvas
+        return jax.jit(self.module.init)(rng, images)
 
     # ---------------------------------------------------------- preprocess
     def preprocess(self, images):
@@ -345,10 +347,11 @@ class RCNNDetector:
         )
 
     def box_head(self, variables, features, boxes, valid,
-                 pool_mode: str = "corner_gather"):
+                 pool_mode: str = None):
         pooled = box_pooler(
             features[:-1], boxes, valid, self.roi_strides,
-            self.pooler_resolution, mode=pool_mode,
+            self.pooler_resolution,
+            mode=pool_mode or self.cfg.TPU.POOL_MODE,
         )
         return self.module.apply(variables, pooled, method=RCNN.box_fwd)
 

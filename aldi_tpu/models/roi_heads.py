@@ -126,10 +126,11 @@ def box_pooler(features, boxes, valid, strides, resolution=7,
                mode="corner_gather"):
     """Multi-level ROIAlign -> [B, S, res, res, C].
 
-    mode="slice2x2" is the fast forward-only formulation (one (2, 2C)
-    slice-gather per sample); its backward is an overlapping-window
-    scatter-add that XLA serializes, so it is used only on no-grad paths
-    (teacher / inference)."""
+    Modes (see ops/roi_align.py): "corner_gather" is the autodiff-safe
+    XLA baseline; "pallas"/"pallas_fused" route the forward through the
+    chunked-DMA Pallas kernel (fused pairs it with the corner-scatter
+    backward); "slice2x2"/"fused" are the lax.gather A/B variants
+    (measured slower on v5e)."""
     return roi_align_batched(features, boxes, valid, strides, resolution,
                              mode=mode)
 

@@ -190,12 +190,11 @@ def label_anchors_sampled(
                 iou, gtv, list(thresholds), [0, -1, 1],
                 allow_low_quality=True,
             )
-        pos, neg = matcher_ops.subsample_labels(
-            k_sub, mlab.astype(jnp.int32), k, positive_fraction, bg_label=0,
+        idx, valid, is_pos = matcher_ops.subsample_indices(
+            jax.random.fold_in(k_sub, 0), mlab.astype(jnp.int32), k,
+            positive_fraction, bg_label=0,
         )
-        idx, valid, is_pos = matcher_ops.sample_fixed_indices(
-            k_fix, pos, neg, k
-        )
+        del k_fix  # kept in the split for PRNG-stream stability
         return idx, valid, is_pos, gtb[midx[idx]]
 
     keys = jax.random.split(key, gt_boxes.shape[0])

@@ -439,7 +439,7 @@ class YoloDetector:
     def init_variables(self, rng, batch_size: int = 1):
         x = jnp.zeros((batch_size, *self.canvas, 3), self.dtype)
         k1, k2 = jax.random.split(rng)
-        variables = dict(self.module.init(k1, x))
+        variables = dict(jax.jit(self.module.init)(k1, x))  # see rcnn.py note
         if self.img_da_enabled:
             layer = {"p3": 256, "p4": 512, "p5": 1024}[
                 self.cfg.DOMAIN_ADAPT.ALIGN.IMG_DA_LAYER

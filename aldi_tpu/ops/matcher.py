@@ -58,6 +58,95 @@ def match(
     return matched_idx, match_labels
 
 
+def topk_smallest_with_idx(vals: jnp.ndarray, k: int, seg: int = 2048):
+    """Exact (values, indices) of the k smallest entries of a 1-D array.
+
+    Two-stage: per-segment top-k then a top-k over the S*k candidates.
+    ``lax.top_k`` over one huge row is slow on TPU (measured ~25 ms per
+    765k-element call); the segmented form runs the same selection as a
+    batched [S, seg] top-k plus a small merge. Exact for any k <= seg
+    because a global k-smallest contains at most k entries per segment.
+    """
+    n = vals.shape[0]
+    k = min(k, n)
+    if n <= max(4 * seg, 4 * k) or k > seg:
+        nv, ni = jax.lax.top_k(-vals, k)
+        return -nv, ni
+    pad = (-n) % seg
+    if pad:
+        vals = jnp.concatenate(
+            [vals, jnp.full((pad,), jnp.inf, vals.dtype)
+             if jnp.issubdtype(vals.dtype, jnp.floating)
+             else jnp.full((pad,), jnp.iinfo(vals.dtype).max, vals.dtype)]
+        )
+    m = vals.shape[0] // seg
+    v2 = vals.reshape(m, seg)
+    nv, ni = jax.lax.top_k(-v2, k)  # [m, k] smallest per segment
+    cand_v = (-nv).reshape(-1)
+    cand_i = (ni + jnp.arange(m, dtype=ni.dtype)[:, None] * seg).reshape(-1)
+    nv2, order = jax.lax.top_k(-cand_v, k)
+    return -nv2, cand_i[order]
+
+
+def subsample_indices(
+    key,
+    labels: jnp.ndarray,
+    num_samples: int,
+    positive_fraction: float,
+    bg_label: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """``subsample_labels`` + index extraction in one pass, without any
+    full-domain top-k over the N anchors beyond the two segmented selections.
+
+    Equal in distribution to ``subsample_labels`` followed by
+    ``sample_fixed_indices``: sampled positives are a uniform num_pos-subset
+    of the positive candidates, negatives likewise, positives ordered first.
+
+    Returns (indices [num_samples], valid, is_pos).
+    """
+    pos_mask = (labels != -1) & (labels != bg_label)
+    neg_mask = labels == bg_label
+    num_pos_max = max(int(num_samples * positive_fraction), 1)
+    num_pos = jnp.minimum(pos_mask.sum(), num_pos_max)
+    num_neg = jnp.minimum(neg_mask.sum(), num_samples - num_pos)
+    kp, kn, kt = jax.random.split(key, 3)
+
+    big = jnp.int32(0x7FFFFFFF)
+
+    n = labels.shape[0]
+
+    def pick(k_rng, mask, k_max, count):
+        k_eff = min(k_max, n)
+        r = (jax.random.bits(k_rng, mask.shape, jnp.uint32) >> 2).astype(
+            jnp.int32
+        )
+        masked = jnp.where(mask, r, big)
+        vals, idx = topk_smallest_with_idx(masked, k_eff)
+        ok = (jnp.arange(k_eff) < count) & (vals < big)
+        return idx.astype(jnp.int32), ok
+
+    ipos, vpos = pick(kp, pos_mask, num_pos_max, num_pos)
+    ineg, vneg = pick(kn, neg_mask, num_samples, num_neg)
+
+    cand_idx = jnp.concatenate([ipos, ineg])
+    cand_pos = jnp.concatenate([vpos, jnp.zeros_like(vneg)])
+    cand_ok = jnp.concatenate([vpos, vneg])
+    score = (
+        cand_pos.astype(jnp.float32) * 4.0
+        + cand_ok.astype(jnp.float32) * 2.0
+        + jax.random.uniform(kt, cand_idx.shape)
+    )
+    k_fin = min(num_samples, cand_idx.shape[0])
+    svals, order = jax.lax.top_k(score, k_fin)
+    out_idx, out_ok, out_pos = cand_idx[order], svals >= 2.0, svals >= 4.0
+    if k_fin < num_samples:  # degenerate tiny inputs: pad invalid tail
+        pad = num_samples - k_fin
+        out_idx = jnp.concatenate([out_idx, jnp.zeros(pad, jnp.int32)])
+        out_ok = jnp.concatenate([out_ok, jnp.zeros(pad, bool)])
+        out_pos = jnp.concatenate([out_pos, jnp.zeros(pad, bool)])
+    return out_idx, out_ok, out_pos
+
+
 def _sample_k_of_mask(key, mask: jnp.ndarray, k, k_max: int) -> jnp.ndarray:
     """Uniformly sample ``k`` (traced, <= k_max static) True elements of
     ``mask``: keep elements whose random key is <= the k-th smallest among
@@ -68,7 +157,7 @@ def _sample_k_of_mask(key, mask: jnp.ndarray, k, k_max: int) -> jnp.ndarray:
     masked = jnp.where(mask, r, jnp.int32(0x7FFFFFFF))
     k_max = max(min(k_max, mask.shape[0]), 1)
     # k_max smallest values, ascending
-    smallest = -jax.lax.top_k(-masked, k_max)[0]
+    smallest = topk_smallest_with_idx(masked, k_max)[0]
     thr = smallest[jnp.clip(k - 1, 0, k_max - 1)]
     keep = mask & (masked <= thr)
     return keep & (k > 0)

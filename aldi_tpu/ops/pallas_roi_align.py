@@ -1,0 +1,289 @@
+"""Pallas TPU kernel: multi-level ROIAlign forward.
+
+Replaces the XLA corner-gather formulation (ops/roi_align.py) on the hot
+paths. The XLA row gathers achieve ~3% of HBM bandwidth (18.7 ms per
+2x512 ROIs on v5e); this kernel restructures the access pattern:
+
+- Levels are processed by separate kernels (static shapes per level).
+- FINE levels: per box, a dynamic number of [CHUNK_Y, CHUNK_X, C] window
+  DMAs tile the box's footprint on the level (most boxes need exactly
+  one). Each chunk contributes a partial separable-interpolation product
+      acc += A_y[:, rows_k] @ V_k @ A_x[:, cols_k]^T
+  on the MXU, where A_y/A_x are bilinear weight matrices built in-kernel
+  from iota (relu(1 - |c - row|) with the sample coordinate pre-clamped
+  to [0, size-1] reproduces aligned-ROIAlign exactly). Because the chunk
+  row/col ranges PARTITION the window, the chunked sum equals the full
+  product by linearity -- any box geometry is exact, including the
+  extreme-aspect boxes the sqrt-area FPN routing permits (span_x*span_y
+  < 784 cells^2, but either axis alone may reach the full level extent).
+- TINY levels (level smaller than one chunk): the whole level stays
+  VMEM-resident across grid steps (constant index_map) and the same
+  interpolation runs against the full [H, W*C] block -- no per-box DMA.
+  This also covers boxes clamped to the coarsest level whose span
+  exceeds any window.
+- Scalar-prefetched per-box data (level assignment, window origin, chunk
+  counts, box coords) lives in SMEM and gates each grid step with
+  pl.when: boxes on other levels cost nothing (no DMA, no compute).
+- The W axis of an [H, W, C] HBM memref is sublane-tiled (8); chunk x
+  origins are kept 8-aligned (host aligns the window origin down, chunk
+  width is a multiple of 8, and W is padded to a multiple of 8 when
+  needed) with pl.multiple_of hints so Mosaic can prove the slices legal.
+
+Forward only (teacher / inference / eval). Gradient paths pair this
+forward with the corner-scatter backward (the op is linear in features);
+see roi_align mode="pallas_fused".
+
+Reference parity: torchvision-style aligned=True ROIAlign, sampling_ratio
+2, as consumed by the substrate box pooler (SURVEY.md section 2.3).
+"""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .roi_align import assign_levels
+
+CHUNK_Y = 32  # window chunk rows
+CHUNK_X = 40  # window chunk cols (multiple of 8: sublane alignment)
+
+
+def _interp_matrix(coords, oob, origin, size, length, mask_lo=None):
+    """[S, length] bilinear row weights: relu(1 - |c - row|) with the
+    coordinate pre-clamped to [0, size-1] (substrate edge semantics) and
+    out-of-bounds samples zeroed. rows = origin + iota(length). mask_lo
+    (optional, float scalar) zeroes rows below it so overlapping chunk
+    windows never double-count. coords/oob arrive [S, 1] (2-D throughout:
+    Mosaic rejects 1-D bool reshapes)."""
+    c = jnp.clip(coords, 0.0, size - 1.0)  # [S, 1]
+    rows = origin + jax.lax.broadcasted_iota(
+        jnp.int32, (1, length), 1).astype(jnp.float32)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(c - rows))  # [S, length]
+    if mask_lo is not None:
+        w = jnp.where(rows < mask_lo, 0.0, w)
+    return jnp.where(oob, 0.0, w)
+
+
+def _axis_samples(b0, b1, size, scale, s):
+    """Continuous sample coords + oob mask, both [S, 1], for one box axis."""
+    c0 = b0 * scale - 0.5
+    c1 = b1 * scale - 0.5
+    step = (c1 - c0) / s
+    ii = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0).astype(
+        jnp.float32) + 0.5
+    cs = c0 + ii * step
+    oob = (cs < -1.0) | (cs > size)
+    return cs, oob
+
+
+def _chunk_product(ay, ax, v2d, s, c):
+    """One chunk's partial product: [S, rows]@[rows, cols*c] then
+    [S, cols]@[cols, S*c] -> [S_x, S_y*c] f32. HIGHEST precision: the
+    matmuls are tiny, and the default matmul path would quantize the f32
+    bilinear weights to bf16."""
+    hi = jax.lax.Precision.HIGHEST
+    t = jnp.dot(ay, v2d, preferred_element_type=jnp.float32,
+                precision=hi)  # [S, cols*c]
+    cols = v2d.shape[1] // c
+    t = t.reshape(s, cols, c).swapaxes(0, 1).reshape(cols, s * c)
+    return jnp.dot(ax, t, preferred_element_type=jnp.float32,
+                   precision=hi)  # [S_x, S_y*c]
+
+
+def _finish(acc, s, c, output_size, sr, out_dtype):
+    """[S_x, S_y*c] accumulator -> bin-averaged [oy, ox, c] output."""
+    o = acc.reshape(s, s, c)  # [x, y, c]
+    o = o.reshape(output_size, sr, output_size, sr, c).mean((1, 3))
+    return o.swapaxes(0, 1).astype(out_dtype)  # [oy, ox, c]
+
+
+def _fine_kernel(lvl_ref, y0_ref, x0_ref, nx_ref, nc_ref, bx0_ref, by0_ref,
+                 bx1_ref, by1_ref, feat_hbm, out_ref, scratch, acc, sem, *,
+                 level, h, w, w_pad, c, scale, output_size, sr, out_dtype):
+    """One box per grid step; a fori_loop walks the box's window chunks.
+    (An 8-box-per-step variant with parallel in-flight DMAs was tried and
+    measured 2.2x SLOWER with a 4.5x compile blowup -- the 24 unrolled
+    pl.when branches defeat Mosaic; see git history.)"""
+    i = pl.program_id(0)
+    s = output_size * sr
+
+    @pl.when(lvl_ref[i] == level)
+    def _():
+        ys, y_oob = _axis_samples(by0_ref[i], by1_ref[i], h, scale, s)
+        xs, x_oob = _axis_samples(bx0_ref[i], bx1_ref[i], w, scale, s)
+        y0c = y0_ref[i]
+        x0c = x0_ref[i]
+        nx = nx_ref[i]
+        acc[...] = jnp.zeros_like(acc)
+
+        def body(k, _):
+            ky = k // nx
+            kx = k % nx
+            lo_y = y0c + ky * CHUNK_Y  # logical (unclamped) chunk origin
+            lo_x = x0c + kx * CHUNK_X
+            s_y = jnp.minimum(lo_y, h - CHUNK_Y)
+            s_x = pl.multiple_of(jnp.minimum(lo_x, w_pad - CHUNK_X), 8)
+            dma = pltpu.make_async_copy(
+                feat_hbm.at[pl.ds(s_y, CHUNK_Y), pl.ds(s_x, CHUNK_X), :],
+                scratch, sem,
+            )
+            dma.start()
+            ay = _interp_matrix(ys, y_oob, s_y.astype(jnp.float32), h,
+                                CHUNK_Y, mask_lo=lo_y.astype(jnp.float32))
+            ax = _interp_matrix(xs, x_oob, s_x.astype(jnp.float32), w,
+                                CHUNK_X, mask_lo=lo_x.astype(jnp.float32))
+            dma.wait()
+            v = scratch[...].astype(jnp.float32).reshape(
+                CHUNK_Y, CHUNK_X * c)
+            acc[...] += _chunk_product(ay, ax, v, s, c)
+            return 0
+
+        jax.lax.fori_loop(0, nc_ref[i], body, 0)
+        out_ref[...] = _finish(acc[...], s, c, output_size, sr,
+                               out_dtype)[None]
+
+    @pl.when(lvl_ref[i] != level)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+
+def _resident_kernel(lvl_ref, bx0_ref, by0_ref, bx1_ref, by1_ref,
+                     feat_ref, out_ref, *, level, h, w, c, scale,
+                     output_size, sr, out_dtype):
+    i = pl.program_id(0)
+    s = output_size * sr
+
+    @pl.when(lvl_ref[i] == level)
+    def _():
+        ys, y_oob = _axis_samples(by0_ref[i], by1_ref[i], h, scale, s)
+        xs, x_oob = _axis_samples(bx0_ref[i], bx1_ref[i], w, scale, s)
+        ay = _interp_matrix(ys, y_oob, 0.0, h, h)
+        ax = _interp_matrix(xs, x_oob, 0.0, w, w)
+        v = feat_ref[...].astype(jnp.float32).reshape(h, w * c)
+        out_ref[...] = _finish(_chunk_product(ay, ax, v, s, c), s, c,
+                               output_size, sr, out_dtype)[None]
+
+    @pl.when(lvl_ref[i] != level)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+
+def roi_align_pallas(features, boxes, box_valid, strides, output_size=7,
+                     sampling_ratio=2, interpret=False):
+    """Multi-level ROIAlign forward for ONE image via per-level kernels.
+
+    features: per-level [H_l, W_l, C]; boxes [P, 4] xyxy; box_valid [P].
+    Returns [P, output_size, output_size, C] in the features' dtype.
+    """
+    p_n = boxes.shape[0]
+    c = int(features[0].shape[-1])
+    sr = sampling_ratio
+    min_level = int(math.log2(strides[0]))
+    max_level = int(math.log2(strides[-1]))
+    lvl = assign_levels(boxes, min_level, max_level)  # [P] 0-based
+    lvl = jnp.where(box_valid, lvl, jnp.int32(-1))  # invalid: no level
+
+    out_dtype = features[0].dtype
+    total = jnp.zeros((p_n, output_size, output_size, c), out_dtype)
+    boxes_f = boxes.astype(jnp.float32)
+
+    for li, (feat, stride) in enumerate(zip(features, strides)):
+        h, w = int(feat.shape[0]), int(feat.shape[1])
+        scale = 1.0 / stride
+        resident = h < CHUNK_Y or w < CHUNK_X
+        out_shape = jax.ShapeDtypeStruct(
+            (p_n, output_size, output_size, c), out_dtype
+        )
+        out_spec = pl.BlockSpec(
+            (1, output_size, output_size, c), lambda i, *pref: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        if resident:
+            kern = partial(
+                _resident_kernel, level=li, h=h, w=w, c=c, scale=scale,
+                output_size=output_size, sr=sr, out_dtype=out_dtype,
+            )
+            part = pl.pallas_call(
+                kern,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=5,
+                    grid=(p_n,),
+                    in_specs=[
+                        pl.BlockSpec((h, w, c), lambda i, *pref: (0, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=out_spec,
+                ),
+                out_shape=out_shape,
+                interpret=interpret,
+            )(lvl, boxes_f[:, 0], boxes_f[:, 1], boxes_f[:, 2],
+              boxes_f[:, 3], feat)
+        else:
+            # pad W up to a multiple of 8 so every chunk origin/extent is
+            # sublane-aligned (no-op for standard padded image sizes)
+            w_pad = (w + 7) // 8 * 8
+            if w_pad != w:
+                feat = jnp.pad(feat, ((0, 0), (0, w_pad - w), (0, 0)))
+            # per-box window: rows/cols the sample lattice can touch
+            x0s = boxes_f[:, 0] * scale - 0.5
+            y0s = boxes_f[:, 1] * scale - 0.5
+            x1s = boxes_f[:, 2] * scale - 0.5
+            y1s = boxes_f[:, 3] * scale - 0.5
+            y_lo = jnp.maximum(jnp.floor(y0s).astype(jnp.int32) - 1, 0)
+            x_lo = jnp.maximum(jnp.floor(x0s).astype(jnp.int32) - 1, 0)
+            x_lo = x_lo - (x_lo % 8)  # sublane alignment
+            y_hi = jnp.floor(jnp.clip(y1s, 0.0, h - 1.0)).astype(
+                jnp.int32) + 1
+            x_hi = jnp.floor(jnp.clip(x1s, 0.0, w - 1.0)).astype(
+                jnp.int32) + 1
+            ny = jnp.maximum((y_hi - y_lo) // CHUNK_Y + 1, 1)
+            nx = jnp.maximum((x_hi - x_lo) // CHUNK_X + 1, 1)
+            nc = ny * nx
+            kern = partial(
+                _fine_kernel, level=li, h=h, w=w, w_pad=w_pad, c=c,
+                scale=scale, output_size=output_size, sr=sr,
+                out_dtype=out_dtype,
+            )
+            part = pl.pallas_call(
+                kern,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=9,
+                    grid=(p_n,),
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pl.ANY),
+                    ],
+                    out_specs=out_spec,
+                    scratch_shapes=[
+                        pltpu.VMEM((CHUNK_Y, CHUNK_X, c), feat.dtype),
+                        pltpu.VMEM(
+                            (output_size * sr, output_size * sr * c),
+                            jnp.float32,
+                        ),
+                        pltpu.SemaphoreType.DMA(()),
+                    ],
+                ),
+                out_shape=out_shape,
+                interpret=interpret,
+            )(lvl, y_lo, x_lo, nx, nc, boxes_f[:, 0], boxes_f[:, 1],
+              boxes_f[:, 2], boxes_f[:, 3], feat)
+        total = total + part
+    return total
+
+
+def roi_align_pallas_batched(features, boxes, box_valid, strides,
+                             output_size=7, sampling_ratio=2,
+                             interpret=False):
+    """Batch via a static python loop (small B; the kernels are not vmapped).
+    features per-level [B, H, W, C]; boxes [B, P, 4]; box_valid [B, P]."""
+    b = boxes.shape[0]
+    outs = [
+        roi_align_pallas(
+            [f[i] for f in features], boxes[i], box_valid[i], strides,
+            output_size, sampling_ratio, interpret=interpret,
+        )
+        for i in range(b)
+    ]
+    return jnp.stack(outs)

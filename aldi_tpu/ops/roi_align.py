@@ -11,10 +11,27 @@ all pyramid levels are flattened row-major and concatenated into one
 the table — a single large gather, batched over boxes/bins/samples, with no
 data-dependent shapes. Padding boxes gather row 0 with weight 0.
 
+Modes:
+  corner_gather  4 row gathers per sample; autodiff backward (4 row
+                 scatter-adds). The default: measured 18.7 ms fwd /
+                 20.5 ms fwd+bwd per 2x512 ROIs on v5e.
+  slice2x2       one (2, 2C)-footprint slice gather per sample via
+                 ``lax.gather``. Measured ~20x SLOWER than corner_gather
+                 on v5e (sliced gathers lower poorly); kept as an A/B knob.
+                 (A round-1 reading that claimed 50x FASTER was an artifact
+                 of the tunnel runtime deduping repeated identical calls.)
+  fused          slice2x2 forward + hand-written backward (the op is linear
+                 in the features; d(features) is 4 row scatter-adds computed
+                 without re-running the forward). Box gradients are ZERO by
+                 construction — callers must stop_gradient the boxes (the
+                 substrate detaches proposals too). Same forward pathology
+                 as slice2x2 — A/B knob only.
+
 sampling_ratio is fixed at 2 (the substrate's adaptive ``ceil(bin)`` resolves
 to 2 for canonically-sized ROIs; fixed value keeps shapes static).
 """
 
+import math
 from functools import partial
 from typing import Sequence
 
@@ -52,6 +69,114 @@ def _bilinear_params(coord, size):
     return low, high, l_w, oob
 
 
+def _sample_params(boxes, box_valid, feat_hws, strides, output_size,
+                   sampling_ratio):
+    """Pure sampling geometry (no feature reads): per-box level and the
+    bilinear lattice. Shared by every mode and by the fused backward."""
+    hs = jnp.asarray([h for h, _ in feat_hws], jnp.int32)
+    ws = jnp.asarray([w for _, w in feat_hws], jnp.int32)
+    scales = jnp.asarray([1.0 / s for s in strides], jnp.float32)
+
+    min_level = int(math.log2(strides[0]))
+    max_level = int(math.log2(strides[-1]))
+    lvl = assign_levels(boxes, min_level, max_level)  # [P]
+
+    scale = scales[lvl]  # [P]
+    h_l, w_l = hs[lvl], ws[lvl]
+
+    boxes_f = boxes.astype(jnp.float32)
+    # aligned=True: half-pixel offset on the start coordinate
+    x0 = boxes_f[:, 0] * scale - 0.5
+    y0 = boxes_f[:, 1] * scale - 0.5
+    x1 = boxes_f[:, 2] * scale - 0.5
+    y1 = boxes_f[:, 3] * scale - 0.5
+    bin_w = (x1 - x0) / output_size
+    bin_h = (y1 - y0) / output_size
+
+    sr = sampling_ratio
+    bin_idx = jnp.arange(output_size, dtype=jnp.float32)
+    s_idx = (jnp.arange(sr, dtype=jnp.float32) + 0.5) / sr
+    ys = (
+        y0[:, None, None]
+        + (bin_idx[None, :, None] + s_idx[None, None, :]) * bin_h[:, None, None]
+    )  # [P, out, sr]
+    xs = (
+        x0[:, None, None]
+        + (bin_idx[None, :, None] + s_idx[None, None, :]) * bin_w[:, None, None]
+    )
+
+    y_low, y_high, ly, y_oob = _bilinear_params(ys, h_l[:, None, None])
+    x_low, x_high, lx, x_oob = _bilinear_params(xs, w_l[:, None, None])
+
+    # sample lattice dims: [P, oy, sy, ox, sx]
+    oob = y_oob[:, :, :, None, None] | x_oob[:, None, None, :, :]
+    invalid = oob | (~box_valid[:, None, None, None, None])
+    return dict(
+        lvl=lvl, h_l=h_l, w_l=w_l,
+        y_low=y_low, y_high=y_high, ly=ly,
+        x_low=x_low, x_high=x_high, lx=lx,
+        invalid=invalid,
+    )
+
+
+def _corner_weights(p):
+    """4 bilinear corner weights on the sample lattice, zeroed on invalid."""
+    ly, lx = p["ly"], p["lx"]
+    hy, hx = 1.0 - ly, 1.0 - lx
+    hy_g = hy[:, :, :, None, None]
+    ly_g = ly[:, :, :, None, None]
+    hx_g = hx[:, None, None, :, :]
+    lx_g = lx[:, None, None, :, :]
+    zero = jnp.asarray(0.0, jnp.float32)
+    inv = p["invalid"]
+    return (
+        jnp.where(inv, zero, hy_g * hx_g),  # (low, low)
+        jnp.where(inv, zero, hy_g * lx_g),  # (low, high)
+        jnp.where(inv, zero, ly_g * hx_g),  # (high, low)
+        jnp.where(inv, zero, ly_g * lx_g),  # (high, high)
+    )
+
+
+def _corner_indices(p, offsets):
+    """Flat row indices into the concatenated level table for the 4 corners,
+    each [P, oy, sy, ox, sx]."""
+    base = offsets[p["lvl"]][:, None, None, None, None]
+    w_row = p["w_l"][:, None, None]
+
+    def flat_idx(yv, xv):
+        return base + (
+            yv[:, :, :, None, None] * w_row[:, :, :, None, None]
+            + xv[:, None, None, :, :]
+        )
+
+    yl, yh = p["y_low"], p["y_high"]
+    xl, xh = p["x_low"], p["x_high"]
+    return (
+        flat_idx(yl, xl), flat_idx(yl, xh),
+        flat_idx(yh, xl), flat_idx(yh, xh),
+    )
+
+
+def _level_offsets(feat_hws):
+    sizes = [h * w for h, w in feat_hws]
+    out = [0]
+    for s in sizes[:-1]:
+        out.append(out[-1] + s)
+    return jnp.asarray(out, jnp.int32), sum(sizes)
+
+
+def resolve_pool_mode(mode: str) -> str:
+    """"auto" -> the Pallas chunked-DMA kernel on TPU (wins the step-level
+    A/B: 11.73 vs 11.35 img/s/chip flagship DAOD) and corner_gather
+    elsewhere (the kernel has no un-interpreted CPU lowering).
+    pallas_fused is safe on no-grad paths too: its corner-scatter backward
+    only materializes if gradients actually flow."""
+    if mode != "auto":
+        return mode
+    return "pallas_fused" if jax.default_backend() == "tpu" \
+        else "corner_gather"
+
+
 def roi_align(
     features: Sequence[jnp.ndarray],
     boxes: jnp.ndarray,
@@ -68,84 +193,45 @@ def roi_align(
       boxes: [P, 4] xyxy in image coordinates.
       box_valid: [P] bool.
       strides: per-level feature strides.
-      mode: "corner_gather" (4 row gathers per sample, default) or
-        "slice2x2" (one (2, 2C)-slice gather per sample). slice2x2 is ~50x
-        faster in isolation on v5e but regressed the fused train step 8x
-        (XLA chose a pathological layout/scatter for the big graph) — kept
-        for further investigation, do not enable by default.
+      mode: "auto" (Pallas on TPU, corner_gather elsewhere) |
+        "corner_gather" (default) | "pallas" (Pallas forward kernel,
+        no-grad paths) | "pallas_fused" (Pallas forward + corner-scatter
+        backward) | "slice2x2" | "fused" (see module doc).
 
     Returns [P, output_size, output_size, C].
     """
+    mode = resolve_pool_mode(mode)
+
+    if mode == "pallas":
+        from .pallas_roi_align import roi_align_pallas
+
+        return roi_align_pallas(
+            list(features), boxes, box_valid, list(strides), output_size,
+            sampling_ratio,
+        )
+
+    if mode in ("fused", "pallas_fused"):
+        meta = tuple(
+            (tuple(int(d) for d in f.shape), jnp.dtype(f.dtype).name)
+            for f in features
+        )
+        fn = (_roi_align_fused if mode == "fused"
+              else _roi_align_pallas_fused)
+        return fn(
+            list(features), boxes, box_valid, tuple(strides), output_size,
+            sampling_ratio, meta,
+        )
+
+    feat_hws = [(int(f.shape[0]), int(f.shape[1])) for f in features]
     c = features[0].shape[-1]
-    hs = jnp.asarray([f.shape[0] for f in features], jnp.int32)
-    ws = jnp.asarray([f.shape[1] for f in features], jnp.int32)
-    scales = jnp.asarray([1.0 / s for s in strides], jnp.float32)
-
-    import math
-
-    min_level = int(math.log2(strides[0]))
-    max_level = int(math.log2(strides[-1]))
-    lvl = assign_levels(boxes, min_level, max_level)  # [P]
-
-    scale = scales[lvl]  # [P]
-    h_l, w_l = hs[lvl], ws[lvl]
-
-    boxes_f = boxes.astype(jnp.float32)
-    # aligned=True: half-pixel offset on the start coordinate
-    x0 = boxes_f[:, 0] * scale - 0.5
-    y0 = boxes_f[:, 1] * scale - 0.5
-    x1 = boxes_f[:, 2] * scale - 0.5
-    y1 = boxes_f[:, 3] * scale - 0.5
-    roi_w = x1 - x0
-    roi_h = y1 - y0
-    bin_w = roi_w / output_size
-    bin_h = roi_h / output_size
-
-    sr = sampling_ratio
-    # sample grid: [P, out, sr] continuous coords per axis
-    bin_idx = jnp.arange(output_size, dtype=jnp.float32)
-    s_idx = (jnp.arange(sr, dtype=jnp.float32) + 0.5) / sr
-    ys = (
-        y0[:, None, None]
-        + (bin_idx[None, :, None] + s_idx[None, None, :]) * bin_h[:, None, None]
-    )  # [P, out, sr]
-    xs = (
-        x0[:, None, None]
-        + (bin_idx[None, :, None] + s_idx[None, None, :]) * bin_w[:, None, None]
-    )
-
-    y_low, y_high, ly, y_oob = _bilinear_params(ys, h_l[:, None, None])
-    x_low, x_high, lx, x_oob = _bilinear_params(xs, w_l[:, None, None])
-    hy, hx = 1.0 - ly, 1.0 - lx
-
-    # per-corner bilinear weights on the [P, oy, sy, ox, sx] sample lattice
-    oob = y_oob[:, :, :, None, None] | x_oob[:, None, None, :, :]
-    invalid = oob | (~box_valid[:, None, None, None, None])
+    p = _sample_params(boxes, box_valid, feat_hws, strides, output_size,
+                       sampling_ratio)
 
     if mode == "corner_gather":
-        hy_g = hy[:, :, :, None, None]
-        ly_g = ly[:, :, :, None, None]
-        hx_g = hx[:, None, None, :, :]
-        lx_g = lx[:, None, None, :, :]
-        zero = jnp.asarray(0.0, jnp.float32)
-        w_ll = jnp.where(invalid, zero, hy_g * hx_g)
-        w_lh = jnp.where(invalid, zero, hy_g * lx_g)
-        w_hl = jnp.where(invalid, zero, ly_g * hx_g)
-        w_hh = jnp.where(invalid, zero, ly_g * lx_g)
-
-        sizes = [int(f.shape[0]) * int(f.shape[1]) for f in features]
-        offsets = jnp.asarray(
-            [0] + list(jnp.cumsum(jnp.asarray(sizes))[:-1]), jnp.int32
-        )
+        offsets, _ = _level_offsets(feat_hws)
         table = jnp.concatenate([f.reshape(-1, c) for f in features], axis=0)
-        w_row = w_l[:, None, None]
-        base = offsets[lvl][:, None, None, None, None]
-
-        def flat_idx(yv, xv):
-            return base + (
-                yv[:, :, :, None, None] * w_row[:, :, :, None, None]
-                + xv[:, None, None, :, :]
-            )
+        idx4 = _corner_indices(p, offsets)
+        w4 = _corner_weights(p)
 
         def g(idx, w):
             # gather in the features' native dtype; accumulate in f32
@@ -155,16 +241,23 @@ def roi_align(
                 * w[..., None]
             )
 
-        acc = (
-            g(flat_idx(y_low, x_low), w_ll)
-            + g(flat_idx(y_low, x_high), w_lh)
-            + g(flat_idx(y_high, x_low), w_hl)
-            + g(flat_idx(y_high, x_high), w_hh)
-        )
+        acc = sum(g(i, w) for i, w in zip(idx4, w4))
         out = acc.mean(axis=(2, 4))
         return out.astype(features[0].dtype)
 
     assert mode == "slice2x2", mode
+    return _slice2x2_forward(features, p, output_size)
+
+
+def _slice2x2_forward(features, p, output_size):
+    """One (2, 2C)-footprint slice-gather per sample instead of four row
+    gathers per corner: levels are stacked as [H_l, Wmax*C] rows (+C columns
+    and one extra row so edge slices read zero padding; edge corners carry
+    weight 0, so the padding never contributes)."""
+    c = features[0].shape[-1]
+    invalid = p["invalid"]
+    ly, lx = p["ly"], p["lx"]
+    hy, hx = 1.0 - ly, 1.0 - lx
     sl = (slice(None), slice(None), slice(None), None, None)  # y dims
     sx_ = (slice(None), None, None, slice(None), slice(None))  # x dims
     wy = jnp.stack([hy[sl] * jnp.ones_like(lx[sx_]),
@@ -174,10 +267,6 @@ def roi_align(
     w = wy[..., :, None] * wx[..., None, :]  # [P, oy, sy, ox, sx, 2, 2]
     w = jnp.where(invalid[..., None, None], 0.0, w)
 
-    # one 2x2-footprint slice-gather per SAMPLE instead of four row gathers
-    # per corner: levels are stacked as [H_l, Wmax*C] rows (+C columns and
-    # one extra row so edge slices read zero padding; edge corners carry
-    # weight 0, so the padding never contributes).
     wmax = max(int(f.shape[1]) for f in features)
     rows = []
     for f in features:
@@ -188,13 +277,14 @@ def roi_align(
     table2d = jnp.concatenate(rows, axis=0)
     table2d = jnp.pad(table2d, ((0, 1), (0, c)))
     row_offsets = jnp.asarray(
-        [0] + list(jnp.cumsum(jnp.asarray([f.shape[0] for f in features]))[:-1]),
+        [0] + list(jnp.cumsum(
+            jnp.asarray([f.shape[0] for f in features]))[:-1]),
         jnp.int32,
     )
 
-    y_b = jnp.broadcast_to(y_low[sl], invalid.shape)
-    x_b = jnp.broadcast_to(x_low[sx_], invalid.shape)
-    y_glob = row_offsets[lvl][:, None, None, None, None] + y_b
+    y_b = jnp.broadcast_to(p["y_low"][sl], invalid.shape)
+    x_b = jnp.broadcast_to(p["x_low"][sx_], invalid.shape)
+    y_glob = row_offsets[p["lvl"]][:, None, None, None, None] + y_b
     starts = jnp.stack(
         [y_glob.reshape(-1), (x_b * c).reshape(-1)], axis=-1
     ).astype(jnp.int32)
@@ -217,10 +307,90 @@ def roi_align(
     return out.astype(features[0].dtype)
 
 
+# --------------------------------------------------------------- fused mode
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _roi_align_fused(features, boxes, box_valid, strides, output_size,
+                     sampling_ratio, feat_meta):
+    feat_hws = [(int(f.shape[0]), int(f.shape[1])) for f in features]
+    p = _sample_params(boxes, box_valid, feat_hws, strides, output_size,
+                       sampling_ratio)
+    return _slice2x2_forward(features, p, output_size)
+
+
+def _fused_fwd(features, boxes, box_valid, strides, output_size,
+               sampling_ratio, feat_meta):
+    out = _roi_align_fused(features, boxes, box_valid, strides, output_size,
+                           sampling_ratio, feat_meta)
+    return out, (boxes, box_valid)
+
+
+def _fused_bwd(strides, output_size, sampling_ratio, feat_meta, res, g):
+    """d(features) = 4 row scatter-adds of the corner-weighted cotangent;
+    d(boxes) = 0 by construction (callers stop_gradient proposal boxes,
+    matching the substrate's detached proposals)."""
+    boxes, box_valid = res
+    shapes = [(s, jnp.dtype(dn)) for s, dn in feat_meta]
+    feat_hws = [(int(s[0]), int(s[1])) for s, _ in shapes]
+    c = shapes[0][0][-1]
+    p = _sample_params(boxes, box_valid, feat_hws, strides, output_size,
+                       sampling_ratio)
+    offsets, total_rows = _level_offsets(feat_hws)
+    idx4 = _corner_indices(p, offsets)
+    w4 = _corner_weights(p)
+
+    sr = sampling_ratio
+    # each of the sr*sr samples in a bin receives g/(sr*sr)
+    g_s = jnp.broadcast_to(
+        g.astype(jnp.float32)[:, :, None, :, None, :] / float(sr * sr),
+        p["invalid"].shape + (c,),
+    )  # [P, oy, sy, ox, sx, C]
+
+    table_grad = jnp.zeros((total_rows, c), jnp.float32)
+    flat_g = g_s.reshape(-1, c)
+    for idx, w in zip(idx4, w4):
+        contrib = flat_g * w.reshape(-1, 1)
+        table_grad = table_grad.at[idx.reshape(-1)].add(contrib)
+
+    grads = []
+    start = 0
+    for (shape, dtype), (h, w_) in zip(shapes, feat_hws):
+        n = h * w_
+        grads.append(
+            table_grad[start:start + n].reshape(h, w_, c).astype(dtype)
+        )
+        start += n
+    return (grads, jnp.zeros_like(boxes), None)
+
+
+_roi_align_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _roi_align_pallas_fused(features, boxes, box_valid, strides,
+                            output_size, sampling_ratio, feat_meta):
+    """Pallas forward kernel + the corner-scatter backward (linear op)."""
+    from .pallas_roi_align import roi_align_pallas
+
+    return roi_align_pallas(features, boxes, box_valid, list(strides),
+                            output_size, sampling_ratio)
+
+
+def _pallas_fused_fwd(features, boxes, box_valid, strides, output_size,
+                      sampling_ratio, feat_meta):
+    out = _roi_align_pallas_fused(features, boxes, box_valid, strides,
+                                  output_size, sampling_ratio, feat_meta)
+    return out, (boxes, box_valid)
+
+
+_roi_align_pallas_fused.defvjp(_pallas_fused_fwd, _fused_bwd)
+
+
 def roi_align_batched(features, boxes, box_valid, strides, output_size=7,
                       sampling_ratio=2, mode="corner_gather"):
-    """vmap over the batch dim: features per-level [B, H, W, C], boxes
-    [B, P, 4], box_valid [B, P] -> [B, P, out, out, C]."""
+    """Batched ROIAlign: features per-level [B, H, W, C], boxes [B, P, 4],
+    box_valid [B, P] -> [B, P, out, out, C]. XLA modes vmap over the batch;
+    pallas modes use a static python loop (the kernels are not vmapped)."""
+    mode = resolve_pool_mode(mode)
     fn = partial(
         roi_align,
         strides=strides,
@@ -228,6 +398,12 @@ def roi_align_batched(features, boxes, box_valid, strides, output_size=7,
         sampling_ratio=sampling_ratio,
         mode=mode,
     )
+    if mode in ("pallas", "pallas_fused"):
+        b = boxes.shape[0]
+        return jnp.stack([
+            fn([f[i] for f in features], boxes[i], box_valid[i])
+            for i in range(b)
+        ])
     return jax.vmap(lambda fs, b, v: fn(list(fs), b, v))(
         tuple(features), boxes, box_valid
     )

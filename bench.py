@@ -1,19 +1,24 @@
 #!/usr/bin/env python3
 """Benchmark: ALDI++ DAOD train-step throughput on the available device.
 
-Runs the flagship configuration's full jitted iteration — student forwards
-on labeled-strong + unlabeled-strong streams, EMA teacher pseudo-labeling,
-soft distillation, backward, SGD update, with device-side strong
-augmentation — on synthetic Cityscapes-shaped data (1024x2048 canvas, the
-reference benchmark resolution) and reports images/sec/chip.
+Default (driver contract): runs the flagship configuration's full jitted
+iteration — student forwards on labeled-strong + unlabeled-strong streams,
+EMA teacher pseudo-labeling, soft distillation, backward, SGD update, with
+device-side strong augmentation — on synthetic Cityscapes-shaped data
+(1024x2048 canvas, the reference benchmark resolution) and reports
+images/sec/chip as ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Per-family rows (VERDICT round-1 item 7): set ``BENCH_FAMILY`` to one of
+rcnn (default) / vitdet / convnext / yolo / detr to bench that family's DAOD
+step instead, and ``BENCH_MODE=teacher`` to time only the teacher
+pseudo-label inference pass (the "teacher step latency" figure).
+``tools/bench_all.py`` sweeps these and writes BENCH_FAMILIES.json.
 
 Baseline context (BASELINE.md): the reference trains ALDI++ on 8x V100 with
 global batch 48 (24 labeled + 24 unlabeled per iter); its A100 throughput is
 not published. vs_baseline is computed against an assumed 5.0 img/s/chip for
 the reference's 5-forward-pass DDP step on A100 — a generous estimate, to be
 replaced when a measured reference number exists.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
@@ -21,6 +26,8 @@ import os
 import time
 
 # persistent compile cache: repeated bench runs skip the ~20 min XLA compile
+# (pre-create the dir: the cache silently stays disabled if it is missing)
+os.makedirs("/tmp/jax_cache", exist_ok=True)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
@@ -29,31 +36,74 @@ import numpy as np
 ASSUMED_BASELINE_IMG_PER_S_PER_CHIP = 5.0
 
 
-def build_cfg(canvas, batch_per_chip):
+def build_cfg(canvas, batch_per_chip, family="rcnn"):
     from aldi_tpu.config import get_cfg
 
     cfg = get_cfg()
-    # flagship: Faster R-CNN R50-FPN, ALDI++ recipe
-    # (configs/cityscapes/ALDI-Best-Cityscapes.yaml hyperparameters)
-    cfg.MODEL.RESNETS.DEPTH = 50
-    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 8
-    cfg.MODEL.ROI_BOX_HEAD.NUM_FC = 2
-    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
-    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 2000
-    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 1000
-    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 1000
-    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 1000
-    cfg.SOLVER.AMP.ENABLED = True  # bf16 compute
+    if family in ("rcnn", "vitdet", "convnext"):
+        # flagship: Faster R-CNN R50-FPN, ALDI++ recipe
+        # (configs/cityscapes/ALDI-Best-Cityscapes.yaml hyperparameters)
+        cfg.MODEL.RESNETS.DEPTH = 50
+        # one size group per FPN level (3 anchors/cell), as the reference's
+        # configs/detectron2/Base-RCNN-FPN.yaml:9-16 — the config default
+        # [[32..512]] broadcasts ALL 5 sizes to every level (15 anchors/cell,
+        # 2.6M anchors at this canvas: a 5x heavier RPN than the flagship)
+        cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[32], [64], [128], [256], [512]]
+        cfg.MODEL.ROI_HEADS.NUM_CLASSES = 8
+        cfg.MODEL.ROI_BOX_HEAD.NUM_FC = 2
+        cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
+        cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 2000
+        cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 1000
+        cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 1000
+        cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 1000
+        if family == "vitdet":
+            # configs/Base-RCNN-VitDetB.yaml
+            cfg.MODEL.BACKBONE.NAME = "build_vitdet_b_backbone"
+            cfg.MODEL.ROI_BOX_HEAD.NORM = "LN"
+            cfg.MODEL.ROI_BOX_HEAD.NUM_CONV = 4
+            cfg.MODEL.ROI_BOX_HEAD.NUM_FC = 1
+            cfg.MODEL.RPN.CONV_DIMS = (-1, -1)
+            cfg.SOLVER.OPTIMIZER = "ADAMW"
+            cfg.SOLVER.BASE_LR = 1e-4
+        elif family == "convnext":
+            cfg.MODEL.BACKBONE.NAME = "build_convnext_fpn_backbone"
+            cfg.SOLVER.OPTIMIZER = "ADAMW"
+            cfg.SOLVER.BASE_LR = 1e-4
+    elif family == "yolo":
+        # configs/Base-Yolo.yaml (yolov5m)
+        cfg.MODEL.META_ARCHITECTURE = "Yolo"
+        cfg.MODEL.YAML = "yolov5://yolov5m.yaml"
+        cfg.MODEL.YOLO.NUM_CLASSES = 8
+        cfg.MODEL.PIXEL_MEAN = [0.0, 0.0, 0.0]
+        cfg.MODEL.PIXEL_STD = [255.0, 255.0, 255.0]
+    elif family == "detr":
+        # configs/Base-DETR.yaml (Deformable DETR R50)
+        cfg.MODEL.META_ARCHITECTURE = "DeformableDETR"
+        cfg.MODEL.DEFORMABLE_DETR.NUM_CLASSES = 8
+        cfg.SOLVER.OPTIMIZER = "ADAMW"
+        cfg.SOLVER.BASE_LR = 1e-4
+    else:
+        raise ValueError(f"unknown BENCH_FAMILY {family}")
+
+    # bf16 compute everywhere except DETR (reference disables AMP there;
+    # our MSDeformAttn is bf16-safe but f32 keeps the Hungarian matcher
+    # numerics reference-equivalent)
+    cfg.SOLVER.AMP.ENABLED = family != "detr"
     cfg.SOLVER.IMS_PER_BATCH = batch_per_chip * 2
     cfg.DATASETS.BATCH_CONTENTS = ("labeled_strong", "unlabeled_strong")
     cfg.DATASETS.BATCH_RATIOS = (1, 1)
     cfg.DATASETS.UNLABELED = ("placeholder",)
     cfg.EMA.ENABLED = True
     cfg.DOMAIN_ADAPT.TEACHER.ENABLED = True
-    cfg.DOMAIN_ADAPT.DISTILL.ROIH_CLS_ENABLED = True
-    cfg.DOMAIN_ADAPT.DISTILL.ROIH_REG_ENABLED = True
-    cfg.DOMAIN_ADAPT.DISTILL.OBJ_ENABLED = True
-    cfg.DOMAIN_ADAPT.DISTILL.RPN_REG_ENABLED = True
+    if family == "detr":
+        # HardDistiller semantics (reference Base-DETR recipe)
+        cfg.DOMAIN_ADAPT.DISTILL.HARD_ROIH_CLS_ENABLED = True
+        cfg.DOMAIN_ADAPT.DISTILL.HARD_ROIH_REG_ENABLED = True
+    else:
+        cfg.DOMAIN_ADAPT.DISTILL.ROIH_CLS_ENABLED = True
+        cfg.DOMAIN_ADAPT.DISTILL.ROIH_REG_ENABLED = True
+        cfg.DOMAIN_ADAPT.DISTILL.OBJ_ENABLED = True
+        cfg.DOMAIN_ADAPT.DISTILL.RPN_REG_ENABLED = True
     cfg.AUG.UNLABELED_MIC_AUG = True
     cfg.TPU.CANVAS = canvas
     cfg.TPU.MAX_GT = 100
@@ -61,6 +111,7 @@ def build_cfg(canvas, batch_per_chip):
     cfg.TPU.EVAL_POOL_MODE = os.environ.get(
         "BENCH_EVAL_POOL", cfg.TPU.EVAL_POOL_MODE
     )
+    cfg.TPU.POOL_MODE = os.environ.get("BENCH_POOL", cfg.TPU.POOL_MODE)
     cfg.TPU.RPN_LOSS_IMPL = os.environ.get(
         "BENCH_RPN_IMPL", cfg.TPU.RPN_LOSS_IMPL
     )
@@ -75,16 +126,21 @@ def main():
     if os.environ.get("BENCH_PRNG", "threefry") == "rbg":
         jax.config.update("jax_default_prng_impl", "rbg")
 
+    family = os.environ.get("BENCH_FAMILY", "rcnn")
+    mode = os.environ.get("BENCH_MODE", "train")
+
     n_chips = len(jax.devices())
     platform = jax.devices()[0].platform
     # per-chip stream batch (labeled == unlabeled), reference trains 3+3 per
     # V100; start conservative for v5e HBM and let env override
-    bpc = int(os.environ.get("BENCH_BATCH_PER_CHIP", "2"))
-    canvas = (1024, 2048)
+    default_bpc = {"rcnn": "2", "vitdet": "1", "convnext": "2",
+                   "yolo": "4", "detr": "4"}[family]
+    bpc = int(os.environ.get("BENCH_BATCH_PER_CHIP", default_bpc))
+    canvas = (1024, 2048) if family != "detr" else (640, 640)
     if platform == "cpu":  # driver smoke on CPU: shrink
-        canvas, bpc = (256, 512), 1
+        canvas, bpc = ((256, 512) if family != "detr" else (256, 256)), 1
 
-    cfg = build_cfg(canvas, bpc * n_chips)
+    cfg = build_cfg(canvas, bpc * n_chips, family)
     cfg.freeze()
 
     from __graft_entry__ import _fake_batch
@@ -94,7 +150,6 @@ def main():
 
     det = build_detector(cfg)
     state, tx = create_train_state(cfg, det, jax.random.PRNGKey(0))
-    step_fn = make_train_step(cfg, det, tx)
 
     mesh = None
     if n_chips > 1:
@@ -104,6 +159,44 @@ def main():
     batch = _fake_batch(bpc * n_chips, det.canvas, cfg.TPU.MAX_GT, True)
     if mesh is not None:
         batch = shard_batch(batch, mesh)
+
+    if mode == "teacher":
+        # teacher pseudo-label inference latency (the pass that gates each
+        # DAOD iteration; reference runs it under no_grad on the EMA model)
+        thr = cfg.DOMAIN_ADAPT.TEACHER.THRESHOLD
+
+        @jax.jit
+        def teacher_fn(state, images, sizes, rng):
+            tvars = {"params": state.ema_params, "frozen": state.frozen,
+                     **(state.ema_model_state or {})}
+            return det.forward_teacher_ctx(
+                tvars, images, sizes, rng, threshold=thr,
+                max_gt=cfg.TPU.MAX_GT,
+            )[1]
+
+        uw = batch["unlabeled"]
+        for i in range(3):
+            out = teacher_fn(state, uw["image"], uw["sizes"],
+                             jax.random.PRNGKey(i))
+        jax.block_until_ready(out)
+        iters = int(os.environ.get("BENCH_ITERS", "10"))
+        t0 = time.time()
+        for i in range(iters):
+            out = teacher_fn(state, uw["image"], uw["sizes"],
+                             jax.random.PRNGKey(100 + i))
+            jax.block_until_ready(out.valid)
+        dt = (time.time() - t0) / iters
+        result = {
+            "metric": f"teacher pseudo-label latency ({family}, "
+            f"{canvas[0]}x{canvas[1]}, batch {bpc * n_chips}, {platform})",
+            "value": round(dt * 1000, 2),
+            "unit": "ms",
+            "vs_baseline": None,
+        }
+        print(json.dumps(result))
+        return
+
+    step_fn = make_train_step(cfg, det, tx)
 
     # warmup (compile) + 2 steps
     for i in range(3):
@@ -131,8 +224,12 @@ def main():
 
     imgs_per_iter = 2 * bpc * n_chips  # labeled + unlabeled streams
     img_per_s_per_chip = imgs_per_iter / dt / n_chips
+    names = {
+        "rcnn": "R50-FPN", "vitdet": "ViTDet-B", "convnext": "ConvNeXt-T",
+        "yolo": "YOLOv5m", "detr": "DeformableDETR-R50",
+    }
     result = {
-        "metric": "aldi++ daod train images/sec/chip (R50-FPN, "
+        "metric": f"aldi++ daod train images/sec/chip ({names[family]}, "
         f"{canvas[0]}x{canvas[1]}, bf16, {platform})",
         "value": round(img_per_s_per_chip, 3),
         "unit": "img/s/chip",

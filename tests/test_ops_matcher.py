@@ -121,3 +121,52 @@ def test_rpn_losses_sampled_equals_dense():
                                dense_cls / (b * k), rtol=1e-4)
     np.testing.assert_allclose(float(out["loss_rpn_loc"]),
                                dense_loc / (b * k), rtol=1e-4)
+
+
+def test_topk_smallest_with_idx_exact():
+    from aldi_tpu.ops.matcher import topk_smallest_with_idx
+
+    rng = np.random.default_rng(0)
+    # large enough to trigger the segmented path (> 4*seg with seg=512)
+    vals = jnp.asarray(rng.permutation(50_000).astype(np.int32))
+    got_v, got_i = topk_smallest_with_idx(vals, 100, seg=512)
+    np.testing.assert_array_equal(np.asarray(got_v), np.arange(100))
+    np.testing.assert_array_equal(np.asarray(vals)[np.asarray(got_i)],
+                                  np.arange(100))
+    # small-input fallback path
+    got_v2, got_i2 = topk_smallest_with_idx(vals[:600], 10, seg=512)
+    want = np.sort(np.asarray(vals[:600]))[:10]
+    np.testing.assert_array_equal(np.asarray(got_v2), want)
+
+
+def test_subsample_indices_counts_and_composition():
+    from aldi_tpu.ops.matcher import subsample_indices
+
+    n = 20_000
+    labels = np.zeros(n, np.int32)  # background
+    labels[:37] = 1                 # positives
+    labels[37:80] = -1              # ignored
+    labels = jnp.asarray(labels)
+    idx, valid, is_pos = subsample_indices(
+        jax.random.PRNGKey(0), labels, 256, 0.5, bg_label=0
+    )
+    idx, valid, is_pos = map(np.asarray, (idx, valid, is_pos))
+    assert valid.sum() == 256  # plenty of negatives to fill
+    assert is_pos.sum() == 37  # all positives kept (fewer than 128)
+    lab_at = np.asarray(labels)[idx]
+    assert (lab_at[is_pos] == 1).all()
+    neg_sel = valid & ~is_pos
+    assert (lab_at[neg_sel] == 0).all()  # never samples ignored
+    # positives come first
+    assert is_pos[: is_pos.sum()].all()
+
+
+def test_subsample_indices_no_positives():
+    from aldi_tpu.ops.matcher import subsample_indices
+
+    labels = jnp.zeros(5000, jnp.int32)
+    idx, valid, is_pos = subsample_indices(
+        jax.random.PRNGKey(1), labels, 128, 0.25, bg_label=0
+    )
+    assert int(is_pos.sum()) == 0
+    assert int(valid.sum()) == 128

@@ -122,3 +122,100 @@ def test_slice2x2_mode_matches_corner_gather():
     b = roi_align(feats, boxes, valid, [4, 8], mode="slice2x2")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_fused_mode_matches_corner_gather_forward():
+    rng = np.random.default_rng(4)
+    feats = [
+        jnp.asarray(rng.normal(size=(32, 48, 8)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(16, 24, 8)).astype(np.float32)),
+    ]
+    boxes = jnp.asarray(rng.uniform(0, 120, (6, 4)).astype(np.float32))
+    boxes = boxes.at[:, 2:].add(30)
+    valid = jnp.asarray([True] * 5 + [False])
+    a = roi_align(feats, boxes, valid, [4, 8], mode="corner_gather")
+    b = roi_align(feats, boxes, valid, [4, 8], mode="fused")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_fused_mode_feature_grads_match_corner_gather():
+    import jax
+
+    rng = np.random.default_rng(5)
+    feats = [
+        jnp.asarray(rng.normal(size=(32, 48, 4)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(16, 24, 4)).astype(np.float32)),
+    ]
+    boxes = jnp.asarray(rng.uniform(0, 120, (5, 4)).astype(np.float32))
+    boxes = boxes.at[:, 2:].add(30)
+    valid = jnp.asarray([True, True, True, True, False])
+    # weighted sum as loss so the cotangent is non-uniform
+    w = jnp.asarray(rng.normal(size=(5, 7, 7, 4)).astype(np.float32))
+
+    def loss(fs, mode):
+        out = roi_align(fs, boxes, valid, [4, 8], mode=mode)
+        return (out * w).sum()
+
+    g_ref = jax.grad(lambda fs: loss(fs, "corner_gather"))(feats)
+    g_fused = jax.grad(lambda fs: loss(fs, "fused"))(feats)
+    for a, b in zip(g_ref, g_fused):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
+
+
+def test_fused_mode_box_grads_are_zero():
+    import jax
+
+    feats = [jnp.ones((16, 16, 2), jnp.float32)]
+    boxes = jnp.asarray([[4.0, 4.0, 40.0, 40.0]])
+    valid = jnp.ones(1, bool)
+
+    g = jax.grad(
+        lambda b: roi_align(feats, b, valid, [4], mode="fused").sum()
+    )(boxes)
+    np.testing.assert_allclose(np.asarray(g), 0.0)
+
+
+def test_pallas_kernel_matches_corner_gather():
+    """Pallas ROIAlign (interpret mode on CPU) vs the XLA corner-gather
+    formulation, on both the VMEM-resident and footprint-DMA paths."""
+    import aldi_tpu.ops.pallas_roi_align as pra
+
+    rng = np.random.default_rng(11)
+    feats = [
+        jnp.asarray(rng.normal(size=(64, 96, 8)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(32, 48, 8)).astype(np.float32)),
+    ]
+    x0 = rng.uniform(0, 300, (16, 1)).astype(np.float32)
+    y0 = rng.uniform(0, 180, (16, 1)).astype(np.float32)
+    w = rng.uniform(20, 120, (16, 1)).astype(np.float32)
+    h = rng.uniform(20, 120, (16, 1)).astype(np.float32)
+    boxes = np.concatenate([x0, y0, x0 + w, y0 + h], axis=1)
+    # extreme-aspect boxes exercise the multi-chunk window walk (wide,
+    # tall, and a full-extent sliver on the fine level)
+    boxes[0] = [2.0, 10.0, 370.0, 22.0]     # flat: many x chunks
+    boxes[1] = [30.0, 3.0, 44.0, 250.0]     # narrow: many y chunks
+    boxes[2] = [0.0, 100.0, 383.0, 104.0]   # full-width sliver
+    boxes[3] = [100.0, 90.0, 230.0, 212.0]  # 2x2 chunk square
+    boxes = jnp.asarray(boxes)
+    valid = jnp.asarray([True] * 14 + [False, True])
+
+    ref = roi_align(feats, boxes, valid, [4, 8], mode="corner_gather")
+
+    # default: both levels take the chunked-DMA fine path
+    out_fine = pra.roi_align_pallas(feats, boxes, valid, [4, 8],
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(out_fine), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    # force the VMEM-resident path (level smaller than one chunk)
+    saved = pra.CHUNK_Y, pra.CHUNK_X
+    try:
+        pra.CHUNK_Y, pra.CHUNK_X = 128, 128
+        out_res = pra.roi_align_pallas(feats, boxes, valid, [4, 8],
+                                       interpret=True)
+    finally:
+        pra.CHUNK_Y, pra.CHUNK_X = saved
+    np.testing.assert_allclose(np.asarray(out_res), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Sweep bench.py across model families + the teacher-latency row.
+
+Each row runs in a fresh subprocess (one live XLA program at a time keeps
+HBM headroom honest). Writes BENCH_FAMILIES.json at the repo root and prints
+a table. The driver's headline metric stays `python bench.py` (flagship).
+
+Usage: python tools/bench_all.py [--families rcnn,vitdet,yolo,detr]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_row(family, mode="train", extra_env=None):
+    env = dict(os.environ)
+    env["BENCH_FAMILY"] = family
+    env["BENCH_MODE"] = mode
+    env.update(extra_env or {})
+    p = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench.py")],
+        capture_output=True, text=True, env=env, cwd=ROOT,
+    )
+    line = p.stdout.strip().splitlines()[-1] if p.stdout.strip() else ""
+    try:
+        return json.loads(line)
+    except (json.JSONDecodeError, IndexError):
+        return {"metric": f"{family}/{mode}", "error": (p.stderr or "")[-2000:]}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--families", default="rcnn,vitdet,yolo,detr")
+    ap.add_argument("--teacher", action="store_true", default=True)
+    ap.add_argument("--out", default=os.path.join(ROOT, "BENCH_FAMILIES.json"))
+    args = ap.parse_args()
+
+    rows = []
+    for fam in args.families.split(","):
+        fam = fam.strip()
+        if not fam:
+            continue
+        print(f"== {fam} train step ==", flush=True)
+        rows.append(run_row(fam, "train"))
+        print(json.dumps(rows[-1]), flush=True)
+    if args.teacher:
+        print("== teacher latency (flagship) ==", flush=True)
+        rows.append(run_row("rcnn", "teacher"))
+        print(json.dumps(rows[-1]), flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(rows, f, indent=1)
+    print(f"\nwrote {args.out}")
+    for r in rows:
+        if "error" in r:
+            print(f"  {r['metric']:70s}  ERROR")
+        else:
+            print(f"  {r['metric']:70s}  {r['value']} {r['unit']}")
+
+
+if __name__ == "__main__":
+    main()

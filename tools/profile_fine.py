@@ -1,11 +1,22 @@
 #!/usr/bin/env python3
-"""Fine-grained op-level timing for the R-CNN hot path on device."""
+"""Fine-grained op-level timing for the R-CNN hot path on device.
+
+Measurement rules for the tunnel runtime (it dedupes repeated identical
+executions and elides unfetched work):
+  - every timed call takes a fresh seed scalar and derives its inputs
+    INSIDE the jitted program (no eager per-iteration ops, no dedup);
+  - the op runs `INNER` times per call under a lax.scan whose carry chains
+    a scalar reduction of each output (serialized, nothing elided);
+  - the scalar result is fetched every call.
+Reported time = wall / (calls * INNER).
+"""
 
 import os
 import time
 
+os.makedirs("/tmp/jax_cache", exist_ok=True)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 import sys
 
@@ -22,22 +33,41 @@ from aldi_tpu.models.roi_heads import fast_rcnn_inference, sample_proposals
 from aldi_tpu.ops.roi_align import roi_align_batched
 from aldi_tpu.structures import Instances
 
+RESULTS = {}
+INNER = 4
 
-def timeit(fn, *args, iters=8, warmup=2, name=""):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+
+def timeit(op, name, calls=4, inner=INNER):
+    """op(key) -> pytree; key derived in-jit from the seed argument."""
+
+    def one(carry, s):
+        out = op(jax.random.fold_in(jax.random.PRNGKey(0), s))
+        red = sum(
+            jnp.sum(x.astype(jnp.float32))
+            for x in jax.tree_util.tree_leaves(out)
+        )
+        return carry + red, None
+
+    @jax.jit
+    def run(seed):
+        tot, _ = jax.lax.scan(
+            one, jnp.float32(0.0), seed * inner + jnp.arange(inner)
+        )
+        return tot
+
+    float(run(jnp.int32(999)))  # compile + warm
     t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / iters
+    for c in range(calls):
+        r = run(jnp.int32(c))
+    float(r)
+    dt = (time.time() - t0) / (calls * inner)
     print(f"{name:44s} {dt * 1000:9.1f} ms", flush=True)
+    RESULTS[name] = dt * 1000
     return dt
 
 
 def main():
-    bpc = 2
+    bpc = int(os.environ.get("BENCH_BATCH_PER_CHIP", "2"))
     cfg = build_cfg((1024, 2048), bpc)
     cfg.freeze()
     det = build_detector(cfg)
@@ -47,87 +77,144 @@ def main():
     gt = Instances(boxes=lab["boxes"], classes=lab["classes"],
                    valid=lab["valid"], scores=None)
     variables = {"params": state.params, "frozen": state.frozen}
-    key = jax.random.PRNGKey(1)
+    sizes = lab["sizes"]
+    print(f"anchors: {det.anchors_cat.shape[0]}", flush=True)
 
-    feats = jax.jit(lambda v, im: det.backbone(v, det.preprocess(im)))(
-        variables, lab["image"]
-    )
+    def images(k):
+        return lab["image"] + jax.random.uniform(k, (1,)) * 1e-3
+
+    # 0. backbone forward / forward+backward
+    timeit(lambda k: det.backbone(variables, det.preprocess(images(k))),
+           "backbone+FPN fwd", inner=2)
+
+    def bb_loss(v, im):
+        feats = det.backbone(v, det.preprocess(im), train=True)
+        return sum(f.astype(jnp.float32).mean() for f in feats)
+
+    timeit(lambda k: jax.grad(bb_loss, argnums=0)(variables, images(k)),
+           "backbone+FPN fwd+bwd", inner=2)
+
+    feats = jax.jit(
+        lambda v, im: det.backbone(v, det.preprocess(im))
+    )(variables, lab["image"])
     feats = jax.block_until_ready(feats)
-    rng = jax.random.PRNGKey(2)
-    boxes1000 = jax.random.uniform(
-        rng, (bpc, 1000, 4), minval=0, maxval=900
+
+    def feats_v(k):
+        d = jax.random.uniform(k, (1,), feats[0].dtype) * 1e-3
+        return [f + d for f in feats]
+
+    # 0b. rpn head fwd
+    timeit(lambda k: det.rpn_head(variables, feats_v(k)), "rpn head fwd")
+
+    logits, deltas = jax.jit(lambda v, fs: det.rpn_head(v, fs))(
+        variables, feats
     )
-    boxes1000 = boxes1000.at[..., 2:].add(boxes1000[..., :2] * 0 + 64)
+
+    # 0c. proposal generation (per-level topk + NMS + global topk)
+    def props(k, train):
+        lg = [l + jax.random.uniform(k, (1,)) * 1e-3 for l in logits]
+        return det.proposals(lg, deltas, sizes, train)
+
+    timeit(lambda k: props(k, True), "generate_proposals train")
+    timeit(lambda k: props(k, False), "generate_proposals test")
+
+    def rand_boxes(k, n):
+        b = jax.random.uniform(k, (bpc, n, 4), minval=0, maxval=900)
+        return b.at[..., 2:].add(64)
+
     valid1000 = jnp.ones((bpc, 1000), bool)
-    boxes512 = boxes1000[:, :512]
     valid512 = valid1000[:, :512]
 
-    # 1. ROIAlign forward (512 train proposals)
-    f_ra = jax.jit(
-        lambda fs, b, v: roi_align_batched(fs[:-1], b, v, det.roi_strides, 7)
-    )
-    timeit(f_ra, feats, boxes512, valid512, name="ROIAlign fwd 512")
+    # 1. ROIAlign forward variants (512 train proposals)
+    for mode in ("corner_gather", "slice2x2", "fused"):
+        timeit(
+            lambda k, m=mode: roi_align_batched(
+                feats[:-1], rand_boxes(k, 512), valid512, det.roi_strides,
+                7, mode=m),
+            f"ROIAlign fwd 512 ({mode})",
+        )
 
     # 2. ROIAlign fwd+bwd (grad wrt features)
-    def ra_loss(fs, b, v):
-        return roi_align_batched(fs[:-1], b, v, det.roi_strides, 7).sum()
+    for mode in ("corner_gather", "fused"):
+        def ra_loss(fs, b, m=mode):
+            return roi_align_batched(
+                fs[:-1], b, valid512, det.roi_strides, 7, mode=m
+            ).astype(jnp.float32).sum()
 
-    timeit(jax.jit(jax.grad(ra_loss)), feats, boxes512, valid512,
-           name="ROIAlign fwd+bwd 512")
+        timeit(
+            lambda k, m=mode: jax.grad(ra_loss)(feats, rand_boxes(k, 512), m),
+            f"ROIAlign fwd+bwd 512 ({mode})",
+        )
 
     # 3. box head fwd on 1000 proposals (teacher inference path)
-    f_bh = jax.jit(lambda v, fs, b, vv: det.box_head(v, fs, b, vv))
-    timeit(f_bh, variables, feats, boxes1000, valid1000,
-           name="box head fwd 1000 (pool+fc)")
+    timeit(lambda k: det.box_head(
+        variables, feats, rand_boxes(k, 1000), valid1000),
+        "box head fwd 1000 (pool+fc)")
 
     # 4. fast_rcnn_inference (class-aware NMS)
-    cls_logits = jax.random.normal(rng, (bpc, 1000, det.num_classes + 1))
-    deltas = jax.random.normal(rng, (bpc, 1000, det.num_classes * 4)) * 0.1
-    f_inf = jax.jit(
-        lambda b, v, c, d, s: fast_rcnn_inference(
-            b, v, c, d, s, det.num_classes
-        )
-    )
-    timeit(f_inf, boxes1000, valid1000, cls_logits, deltas, lab["sizes"],
-           name="fast_rcnn_inference (cls NMS)")
+    def inf(k):
+        cls_logits = jax.random.normal(
+            k, (bpc, 1000, det.num_classes + 1))
+        dl = jax.random.normal(k, (bpc, 1000, det.num_classes * 4)) * 0.1
+        return fast_rcnn_inference(
+            rand_boxes(k, 1000), valid1000, cls_logits, dl, sizes,
+            det.num_classes)
+
+    timeit(inf, "fast_rcnn_inference (cls NMS)")
 
     # 5. proposal sampling (matching + subsample)
-    f_sp = jax.jit(
-        lambda k, b, v, gb, gc, gv: sample_proposals(
-            k, b, v, gb, gc, gv, det.num_classes
-        )
-    )
-    timeit(f_sp, key, boxes1000, valid1000, gt.boxes, gt.classes, gt.valid,
-           name="sample_proposals")
+    timeit(lambda k: sample_proposals(
+        k, rand_boxes(k, 1000), valid1000, gt.boxes, gt.classes, gt.valid,
+        det.num_classes), "sample_proposals")
 
-    # 6. RPN losses (anchor matching over 765k anchors)
-    from aldi_tpu.models.rpn import rpn_losses
+    # 6. RPN losses (anchor matching + sampled loss)
+    from aldi_tpu.models.rpn import label_anchors_sampled, rpn_losses
 
-    logits = jax.random.normal(rng, (bpc, det.anchors_cat.shape[0]))
-    dl = jax.random.normal(
-        rng, (bpc, det.anchors_cat.shape[0], 4)) * 0.1
-    f_rl = jax.jit(
-        lambda k, lg, d, gb, gv: rpn_losses(
-            k, det.anchors_cat, lg, d, gb, gv
-        )
-    )
-    timeit(f_rl, key, logits, dl, gt.boxes, gt.valid, name="rpn_losses")
+    R = det.anchors_cat.shape[0]
+
+    def rpn_io(k):
+        lg = jax.random.normal(k, (bpc, R))
+        dl = jnp.zeros((bpc, R, 4)) + jax.random.uniform(k, (1,)) * 0.1
+        return lg, dl
+
+    def rpn_run(k):
+        lg, dl = rpn_io(k)
+        return rpn_losses(k, det.anchors_cat, lg, dl, gt.boxes, gt.valid)
+
+    timeit(rpn_run, "rpn_losses (sampled)")
+
+    def rpn_grad(k):
+        lg, dl = rpn_io(k)
+
+        def f(lg, dl):
+            o = rpn_losses(k, det.anchors_cat, lg, dl, gt.boxes, gt.valid)
+            return o["loss_rpn_cls"] + o["loss_rpn_loc"]
+
+        return jax.grad(f, argnums=(0, 1))(lg, dl)
+
+    timeit(rpn_grad, "rpn_losses grad")
+
+    timeit(lambda k: label_anchors_sampled(
+        k, det.anchors_cat, gt.boxes, gt.valid),
+        "label_anchors_sampled")
 
     # 7. strong augmentation
     from aldi_tpu.data.strong_aug import strong_augment
 
-    f_sa = jax.jit(
-        lambda k, im, sz: strong_augment(k, im, sz, True, True)
-    )
-    timeit(f_sa, key, lab["image"], lab["sizes"], name="strong_augment")
+    timeit(lambda k: strong_augment(k, images(k), lab["sizes"], True, True),
+           "strong_augment")
 
-    # 8. EMA + optimizer-ish tree op
+    # 8. EMA blend
     from aldi_tpu.engine.ema import ema_update
 
-    f_ema = jax.jit(
-        lambda e, p: ema_update(e, p, 0.9996, jnp.asarray(5), 0)
-    )
-    timeit(f_ema, state.params, state.params, name="ema blend")
+    timeit(lambda k: ema_update(
+        state.ema_params, state.params, 0.9996,
+        jax.random.randint(k, (), 5, 10), 0),
+        "ema blend")
+
+    print("\nsummary (ms, sorted):")
+    for k, v in sorted(RESULTS.items(), key=lambda kv: -kv[1]):
+        print(f"  {k:44s} {v:9.1f}")
 
 
 if __name__ == "__main__":
