@@ -68,6 +68,55 @@ def test_ms_deform_attn_zero_pad_outside():
     np.testing.assert_allclose(np.asarray(out), 0.0)
 
 
+def test_ms_deform_attn_matches_numpy_bilinear_oracle():
+    """All head_group gather layouts vs a direct numpy grid_sample
+    (align_corners=False, zero pad) transcription."""
+    from aldi_tpu.ops.ms_deform_attn import ms_deform_attn_core
+
+    rng = np.random.default_rng(3)
+    b, h, d, P = 2, 4, 8, 3
+    shapes = [(6, 9), (3, 5)]
+    L = len(shapes)
+    lv = sum(a * c for a, c in shapes)
+    lq = 17
+    value = rng.normal(size=(b, lv, h, d)).astype(np.float32)
+    loc = (rng.random((b, lq, h, L, P, 2)) * 1.4 - 0.2).astype(np.float32)
+    attn = rng.random((b, lq, h, L, P)).astype(np.float32)
+
+    starts = np.cumsum([0] + [a * c for a, c in shapes])[:-1]
+    want = np.zeros((b, lq, h, d), np.float32)
+    for bi in range(b):
+        for q in range(lq):
+            for hi in range(h):
+                for li, (hh, ww) in enumerate(shapes):
+                    grid = value[bi, starts[li]:starts[li] + hh * ww, hi]
+                    grid = grid.reshape(hh, ww, d)
+                    for p in range(P):
+                        x = loc[bi, q, hi, li, p, 0] * ww - 0.5
+                        y = loc[bi, q, hi, li, p, 1] * hh - 0.5
+                        x0, y0 = int(np.floor(x)), int(np.floor(y))
+                        lx, ly = x - x0, y - y0
+                        acc = np.zeros(d, np.float32)
+                        for (yy, xx, cw) in (
+                            (y0, x0, (1 - ly) * (1 - lx)),
+                            (y0, x0 + 1, (1 - ly) * lx),
+                            (y0 + 1, x0, ly * (1 - lx)),
+                            (y0 + 1, x0 + 1, ly * lx),
+                        ):
+                            if 0 <= yy < hh and 0 <= xx < ww:
+                                acc += cw * grid[yy, xx]
+                        want[bi, q, hi] += attn[bi, q, hi, li, p] * acc
+    want = want.reshape(b, lq, h * d)
+
+    for g in (1, 2, 4):
+        got = ms_deform_attn_core(
+            jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn),
+            head_group=g,
+        )
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4,
+                                   atol=2e-4)
+
+
 def test_hungarian_match_prefers_right_queries():
     from aldi_tpu.models.detr import hungarian_match
 
