@@ -5,20 +5,24 @@ The reference requires a custom CUDA extension for this op
 reference ``README.md:69-74``) and disables AMP because of it. Here the op
 is a pure-XLA formulation, differentiable and bf16-safe.
 
-TPU gather layout matters enormously. The obvious formulation — a batched
-``take_along_axis`` over a ``[B, H, Lv, D]`` table — lowers to a
-catastrophic per-sublane gather on v5e (measured 1213 ms for one
-Lq=8500 corner pass; the whole op 40 ms/encoder-layer). A flat ``jnp.take``
-over a 2-D row table runs ~250x faster (4.9 ms for the same pass). So all
-four bilinear corners of all levels/points are fetched with flat row
-gathers from a single ``[B*Lv*(H/G), G*D]`` table, where G =
-``head_group`` packs G heads into one gathered row:
+TPU gather layout matters enormously; three formulations were measured on
+v5e at encoder shapes (B=2, Lq=8500, H=8, D=32, L=4, P=4):
 
-- G=H (512B rows, bf16): widest rows, most HBM-friendly gather, but
-  gathers H/G=1 -> every sample fetches all heads' channels (HxD) and
-  selects its own head afterwards — 8x raw traffic.
-- G=1 (64B rows): ideal traffic, narrow-row gather.
-The default G is chosen by measurement on v5e (see ``DEFAULT_HEAD_GROUP``).
+1. batched ``take_along_axis`` over ``[B, H, Lv, D]``: catastrophic
+   per-sublane lowering — 260 ms/encoder layer.
+2. flat ``jnp.take`` row gathers, one per (level, corner): ~45 ms. The
+   gather is bound by ROW COUNT (~0.4G rows/s regardless of row width),
+   and this shape needs B*Lq*H*L*P*4 = 4.4M rows.
+3. THIS FILE: per-level 2x2-QUAD tables. For each level, a one-cell
+   zero halo is padded around the grid and the four cells of every
+   bilinear footprint are pre-concatenated into one row of a
+   ``[B*(H_l+1)*(W_l+1)*H, 4*D]`` table (a handful of big contiguous
+   copies). Every sample then needs ONE gathered row — 4x fewer rows —
+   and the halo reproduces grid_sample's zero padding exactly, so no
+   per-corner bounds masks are needed (only a cheap per-sample
+   "footprint overlaps the level" mask). Measured 26.7 ms/encoder layer
+   (B=2) -- 3x over (1); the gather then runs at zero wasted bytes,
+   pinned at XLA's ~21 GB/s gather ceiling on v5e.
 
 Semantics match the reference op: ``grid_sample`` bilinear with
 align_corners=False and zero padding outside each level.
@@ -28,43 +32,38 @@ from typing import Sequence, Tuple
 
 import jax.numpy as jnp
 
-# Measured on TPU v5e (see tools/profile_detr_ops.py): row width vs gather
-# rate tradeoff. Overridable per call.
-DEFAULT_HEAD_GROUP = 8
-
 
 def ms_deform_attn_core(
     value: jnp.ndarray,  # [B, Lv, H, D] flattened levels
     spatial_shapes: Sequence[Tuple[int, int]],  # static [(h, w)] per level
     sampling_locations: jnp.ndarray,  # [B, Lq, H, L, P, 2] normalized (x, y)
     attention_weights: jnp.ndarray,  # [B, Lq, H, L, P]
-    head_group: int = None,
 ) -> jnp.ndarray:
     """Returns [B, Lq, H*D]."""
     b, lv, h, d = value.shape
     _, lq = sampling_locations.shape[:2]
     npoints = sampling_locations.shape[4]
-    g = DEFAULT_HEAD_GROUP if head_group is None else head_group
-    g = min(g, h)
-    assert h % g == 0, (h, g)
-    hg = h // g  # row groups per head axis
 
-    level_sizes = [hh * ww for hh, ww in spatial_shapes]
-    level_starts = [0]
-    for s in level_sizes[:-1]:
-        level_starts.append(level_starts[-1] + s)
-
-    # one flat row table: row (b, pos, head_group) -> G*D channels
-    table = value.reshape(b * lv * hg, g * d)
-
-    # index prefix per (b, q, h): (b*Lv + pos)*hg + h//g; h%g selects the
-    # head slice inside the gathered row
     b_idx = jnp.arange(b, dtype=jnp.int32)[:, None, None, None]
-    hq_idx = (jnp.arange(h, dtype=jnp.int32) // g)[None, None, :, None]
-    hs_idx = (jnp.arange(h, dtype=jnp.int32) % g)[None, None, :, None]
+    h_idx = jnp.arange(h, dtype=jnp.int32)[None, None, :, None]
 
     out = jnp.zeros((b, lq, h, d), jnp.float32)
+    start = 0
     for lvl, (hh, ww) in enumerate(spatial_shapes):
+        # ---- quad table: one row = the 2x2 bilinear footprint of one
+        # (anchor, head); zero halo on every side so partially-outside
+        # footprints read exact zeros
+        v = value[:, start:start + hh * ww].reshape(b, hh, ww, h, d)
+        start += hh * ww
+        vp = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+        a_h, a_w = hh + 1, ww + 1  # anchor lattice (top-left corner cell)
+        quad = jnp.stack(
+            [vp[:, :-1, :-1], vp[:, :-1, 1:],
+             vp[:, 1:, :-1], vp[:, 1:, 1:]],
+            axis=4,
+        )  # [B, a_h, a_w, H, 4, D]
+        table = quad.reshape(b * a_h * a_w * h, 4 * d)
+
         loc = sampling_locations[:, :, :, lvl]  # [B, Lq, H, P, 2]
         w_attn = attention_weights[:, :, :, lvl]  # [B, Lq, H, P]
         # grid_sample align_corners=False: pixel coords = loc * size - 0.5
@@ -72,34 +71,28 @@ def ms_deform_attn_core(
         y = loc[..., 1] * hh - 0.5
         x0 = jnp.floor(x)
         y0 = jnp.floor(y)
-        lx = x - x0
-        ly = y - y0
+        lx = (x - x0)[..., None]  # [B, Lq, H, P, 1]
+        ly = (y - y0)[..., None]
         x0i = x0.astype(jnp.int32)
         y0i = y0.astype(jnp.int32)
 
-        def corner(yi, xi, w):
-            inb = (yi >= 0) & (yi < hh) & (xi >= 0) & (xi < ww)
-            pos = level_starts[lvl] + jnp.clip(yi, 0, hh - 1) * ww + \
-                jnp.clip(xi, 0, ww - 1)  # [B, Lq, H, P]
-            rows = ((b_idx * lv + pos) * hg + hq_idx).reshape(-1)
-            got = jnp.take(table, rows, axis=0)  # [B*Lq*H*P, G*D]
-            got = got.reshape(b, lq, h, npoints, g, d)
-            if g > 1:
-                got = jnp.take_along_axis(
-                    got, hs_idx[..., None, None], axis=4
-                )
-            sel = got.reshape(b, lq, h, npoints, d)
-            return sel.astype(jnp.float32) * (w * inb)[..., None]
+        # footprint overlaps the level at all <=> y0 in [-1, hh-1] etc.;
+        # inside that range the halo makes the quad row exact
+        ok = (
+            (y0i >= -1) & (y0i <= hh - 1) & (x0i >= -1) & (x0i <= ww - 1)
+        )
+        ya = jnp.clip(y0i + 1, 0, hh)
+        xa = jnp.clip(x0i + 1, 0, ww)
+        anchor = ya * a_w + xa
+        rows = ((b_idx * (a_h * a_w) + anchor) * h + h_idx).reshape(-1)
+        got = jnp.take(table, rows, axis=0).astype(jnp.float32)
+        got = got.reshape(b, lq, h, npoints, 4, d)
 
-        wll = (1 - ly) * (1 - lx)
-        wlh = (1 - ly) * lx
-        whl = ly * (1 - lx)
-        whh = ly * lx
-        sampled = (
-            corner(y0i, x0i, wll)
-            + corner(y0i, x0i + 1, wlh)
-            + corner(y0i + 1, x0i, whl)
-            + corner(y0i + 1, x0i + 1, whh)
-        )  # [B, Lq, H, P, D]
-        out = out + (sampled * w_attn[..., None]).sum(axis=3)
+        cw = jnp.stack(
+            [(1 - ly) * (1 - lx), (1 - ly) * lx,
+             ly * (1 - lx), ly * lx],
+            axis=4,
+        )  # [B, Lq, H, P, 4, 1]
+        sampled = (got * cw).sum(axis=4)  # [B, Lq, H, P, D]
+        out = out + (sampled * (w_attn * ok)[..., None]).sum(axis=3)
     return out.reshape(b, lq, h * d)

@@ -133,10 +133,17 @@ def main():
     platform = jax.devices()[0].platform
     # per-chip stream batch (labeled == unlabeled), reference trains 3+3 per
     # V100; start conservative for v5e HBM and let env override
+    # per-family canvas + per-chip batch tuned to v5e HBM (16 GB):
+    # rcnn/convnext/yolo at the Cityscapes benchmark resolution; ViTDet at
+    # the detectron2-ViTDet square recipe resolution (full 1024x2048 ViT-B
+    # DAOD does not fit 16 GB at batch 1); DETR at its MIN_SIZE_TRAIN
+    # midpoint (reference Base-DETR.yaml:42).
     default_bpc = {"rcnn": "2", "vitdet": "1", "convnext": "2",
-                   "yolo": "4", "detr": "4"}[family]
+                   "yolo": "2", "detr": "2"}[family]
     bpc = int(os.environ.get("BENCH_BATCH_PER_CHIP", default_bpc))
-    canvas = (1024, 2048) if family != "detr" else (640, 640)
+    canvas = {"vitdet": (1024, 1024), "detr": (640, 640)}.get(
+        family, (1024, 2048)
+    )
     if platform == "cpu":  # driver smoke on CPU: shrink
         canvas, bpc = ((256, 512) if family != "detr" else (256, 256)), 1
 

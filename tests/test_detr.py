@@ -108,13 +108,10 @@ def test_ms_deform_attn_matches_numpy_bilinear_oracle():
                         want[bi, q, hi] += attn[bi, q, hi, li, p] * acc
     want = want.reshape(b, lq, h * d)
 
-    for g in (1, 2, 4):
-        got = ms_deform_attn_core(
-            jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn),
-            head_group=g,
-        )
-        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4,
-                                   atol=2e-4)
+    got = ms_deform_attn_core(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn)
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
 
 
 def test_hungarian_match_prefers_right_queries():

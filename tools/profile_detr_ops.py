@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""A/B the MSDeformAttn gather layout (head_group) on device.
+"""Time the MSDeformAttn core on device.
 
 Encoder-layer shapes for the Base-DETR config (640x640, strides 8..64).
 Timing uses the carry-chain + single-fetch protocol (the axon tunnel
@@ -25,27 +25,24 @@ def main():
     loc = jnp.asarray(rng.rand(B, lq, H, 4, P, 2), jnp.float32)
     w = jnp.asarray(rng.rand(B, lq, H, 4, P), jnp.float32)
 
-    for g in (8, 4, 2, 1):
-        @jax.jit
-        def f(carry, value, g=g):
-            out = ms_deform_attn_core(
-                value, shapes, loc + carry * 0, w, head_group=g
-            )
-            return out.astype(jnp.float32).sum()
+    @jax.jit
+    def f(carry, value):
+        out = ms_deform_attn_core(value, shapes, loc + carry * 0, w)
+        return out.astype(jnp.float32).sum()
 
-        r = f(jnp.float32(0), value)
-        r.block_until_ready()
-        n = 20
-        r = jnp.float32(0)
-        t0 = time.perf_counter()
-        for _ in range(n):
-            r = f(r, value)
-        float(r)
-        print(
-            "head_group=%d encoder-layer (B=%d, Lq=%d): %.3f ms"
-            % (g, B, lq, (time.perf_counter() - t0) / n * 1e3),
-            flush=True,
-        )
+    r = f(jnp.float32(0), value)
+    r.block_until_ready()
+    n = 20
+    r = jnp.float32(0)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        r = f(r, value)
+    float(r)
+    print(
+        "quad-table encoder-layer (B=%d, Lq=%d): %.3f ms"
+        % (B, lq, (time.perf_counter() - t0) / n * 1e3),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
