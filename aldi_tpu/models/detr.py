@@ -304,9 +304,14 @@ class DeformableDETR(nn.Module):
         # scale into each level's valid region: [B, Lv, L, 2]
         enc_ref = enc_ref[:, :, None, :] * valid_ratios[:, None, :, :]
 
+        # remat each layer: without it the 6-layer encoder retains every
+        # deformable-sampling intermediate for backward (~10s of GB at
+        # Lq~8500); with it, backward recomputes one layer at a time
+        # (spatial_shapes and train are static python args)
+        enc_layer = nn.remat(EncoderLayer, static_argnums=(4, 6))
         memory = src
         for i in range(self.enc_layers):
-            memory = EncoderLayer(
+            memory = enc_layer(
                 self.d_model, self.d_ff, self.n_heads, self.n_levels,
                 self.n_points, self.dropout, self.dtype, name=f"enc{i}",
             )(memory, pos, enc_ref, spatial_shapes, mask, train)
@@ -333,10 +338,11 @@ class DeformableDETR(nn.Module):
         bbox_head = MLP(self.d_model, 4, 3, dtype=self.dtype,
                         name="bbox_embed")
 
+        dec_layer = nn.remat(DecoderLayer, static_argnums=(5, 7))
         logits_per_layer, boxes_per_layer = [], []
         for i in range(self.dec_layers):
             dec_ref = ref[:, :, None, :] * valid_ratios[:, None, :, :]
-            tgt = DecoderLayer(
+            tgt = dec_layer(
                 self.d_model, self.d_ff, self.n_heads, self.n_levels,
                 self.n_points, self.dropout, self.dtype, name=f"dec{i}",
             )(tgt, query_pos, dec_ref, memory, spatial_shapes, mask, train)

@@ -82,6 +82,31 @@ class Attention(nn.Module):
             )
             bias_h = jnp.einsum("bnhwd,hkd->bnhwk", rq, Rh)
             bias_w = jnp.einsum("bnhwd,wkd->bnhwk", rq, Rw)
+
+            if jax.default_backend() == "tpu" and 1024 <= h * w <= 4096:
+                # (N > 4096 falls back to XLA: the backward kernel's
+                # [TQ, N] f32 buffers outgrow VMEM without k-tiling)
+                # global blocks: Pallas kernel keeps the [N, N] rows in
+                # VMEM (the XLA path materializes 5+ [B, nh, N, N] f32
+                # tensors per block); decomposed bias stays decomposed
+                from ..ops.pallas_flash_attn import flash_attention_relpos
+
+                g = b * self.num_heads
+                n = h * w
+                out = flash_attention_relpos(
+                    q.reshape(g, n, head_dim),
+                    k.reshape(g, n, head_dim),
+                    v.reshape(g, n, head_dim),
+                    bias_h.reshape(g, n, h),
+                    bias_w.reshape(g, n, w),
+                    scale,  # kernel scales logits, not the bias
+                    h, w,
+                )
+                out = out.reshape(b, self.num_heads, n, head_dim)
+                out = jnp.moveaxis(out, 1, 2).reshape(b, h, w, self.dim)
+                return nn.Dense(self.dim, dtype=self.dtype,
+                                name="proj")(out)
+
             attn = attn.reshape(b, self.num_heads, h, w, h, w)
             attn = attn + bias_h[..., :, None] + bias_w[..., None, :]
             attn = attn.reshape(b, self.num_heads, h * w, h * w)

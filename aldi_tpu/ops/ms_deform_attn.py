@@ -30,7 +30,14 @@ align_corners=False and zero padding outside each level.
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
+
+# Queries are processed in chunks of this size (lax.map) so the sampling
+# intermediates stay bounded: the [B, Cq, H, P, 4, D] f32 temporaries pick
+# up a 4x tiling-padding expansion on TPU ([..., 4, 32] trailing dims), and
+# at encoder scale (Lq~8500, B=4) unchunked temps reach ~2 GB under remat.
+QUERY_CHUNK = 1024
 
 
 def ms_deform_attn_core(
@@ -64,35 +71,59 @@ def ms_deform_attn_core(
         )  # [B, a_h, a_w, H, 4, D]
         table = quad.reshape(b * a_h * a_w * h, 4 * d)
 
-        loc = sampling_locations[:, :, :, lvl]  # [B, Lq, H, P, 2]
-        w_attn = attention_weights[:, :, :, lvl]  # [B, Lq, H, P]
-        # grid_sample align_corners=False: pixel coords = loc * size - 0.5
-        x = loc[..., 0] * ww - 0.5
-        y = loc[..., 1] * hh - 0.5
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        lx = (x - x0)[..., None]  # [B, Lq, H, P, 1]
-        ly = (y - y0)[..., None]
-        x0i = x0.astype(jnp.int32)
-        y0i = y0.astype(jnp.int32)
+        @jax.checkpoint
+        def sample_block(args):
+            loc, w_attn = args  # [B, Cq, H, P, 2] / [B, Cq, H, P]
+            cq = loc.shape[1]
+            # grid_sample align_corners=False: pixel = loc * size - 0.5
+            x = loc[..., 0] * ww - 0.5
+            y = loc[..., 1] * hh - 0.5
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            lx = (x - x0)[..., None]  # [B, Cq, H, P, 1]
+            ly = (y - y0)[..., None]
+            x0i = x0.astype(jnp.int32)
+            y0i = y0.astype(jnp.int32)
 
-        # footprint overlaps the level at all <=> y0 in [-1, hh-1] etc.;
-        # inside that range the halo makes the quad row exact
-        ok = (
-            (y0i >= -1) & (y0i <= hh - 1) & (x0i >= -1) & (x0i <= ww - 1)
-        )
-        ya = jnp.clip(y0i + 1, 0, hh)
-        xa = jnp.clip(x0i + 1, 0, ww)
-        anchor = ya * a_w + xa
-        rows = ((b_idx * (a_h * a_w) + anchor) * h + h_idx).reshape(-1)
-        got = jnp.take(table, rows, axis=0).astype(jnp.float32)
-        got = got.reshape(b, lq, h, npoints, 4, d)
+            # footprint overlaps the level <=> y0 in [-1, hh-1] etc.;
+            # inside that range the halo makes the quad row exact
+            ok = (
+                (y0i >= -1) & (y0i <= hh - 1)
+                & (x0i >= -1) & (x0i <= ww - 1)
+            )
+            ya = jnp.clip(y0i + 1, 0, hh)
+            xa = jnp.clip(x0i + 1, 0, ww)
+            anchor = ya * a_w + xa
+            rows = ((b_idx * (a_h * a_w) + anchor) * h + h_idx).reshape(-1)
+            got = jnp.take(table, rows, axis=0).astype(jnp.float32)
+            got = got.reshape(b, cq, h, npoints, 4, d)
 
-        cw = jnp.stack(
-            [(1 - ly) * (1 - lx), (1 - ly) * lx,
-             ly * (1 - lx), ly * lx],
-            axis=4,
-        )  # [B, Lq, H, P, 4, 1]
-        sampled = (got * cw).sum(axis=4)  # [B, Lq, H, P, D]
-        out = out + (sampled * (w_attn * ok)[..., None]).sum(axis=3)
+            cw = jnp.stack(
+                [(1 - ly) * (1 - lx), (1 - ly) * lx,
+                 ly * (1 - lx), ly * lx],
+                axis=4,
+            )  # [B, Cq, H, P, 4, 1]
+            sampled = (got * cw).sum(axis=4)  # [B, Cq, H, P, D]
+            return (sampled * (w_attn * ok)[..., None]).sum(axis=3)
+
+        loc_l = sampling_locations[:, :, :, lvl]  # [B, Lq, H, P, 2]
+        w_l = attention_weights[:, :, :, lvl]  # [B, Lq, H, P]
+        if lq <= QUERY_CHUNK:
+            out = out + sample_block((loc_l, w_l))
+        else:
+            nch = -(-lq // QUERY_CHUNK)
+            pad = nch * QUERY_CHUNK - lq
+            locp = jnp.pad(loc_l, ((0, 0), (0, pad)) + ((0, 0),) * 3)
+            wp = jnp.pad(w_l, ((0, 0), (0, pad)) + ((0, 0),) * 2)
+            # chunk axis leads so lax.map scans over it
+            locp = locp.reshape(b, nch, QUERY_CHUNK, h, npoints, 2)
+            wp = wp.reshape(b, nch, QUERY_CHUNK, h, npoints)
+            part = jax.lax.map(
+                sample_block,
+                (locp.transpose(1, 0, 2, 3, 4, 5),
+                 wp.transpose(1, 0, 2, 3, 4)),
+            )  # [nch, B, Cq, H, D]
+            part = part.transpose(1, 0, 2, 3, 4).reshape(
+                b, nch * QUERY_CHUNK, h, d)
+            out = out + part[:, :lq]
     return out.reshape(b, lq, h * d)

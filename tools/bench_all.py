@@ -40,18 +40,32 @@ def main():
     ap.add_argument("--out", default=os.path.join(ROOT, "BENCH_FAMILIES.json"))
     args = ap.parse_args()
 
+    # merge with any existing file so partial re-runs (e.g. one family)
+    # never drop the other rows; rows are keyed by family/mode tag
+    old = []
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                old = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            old = []
+
     rows = []
     for fam in args.families.split(","):
         fam = fam.strip()
         if not fam:
             continue
         print(f"== {fam} train step ==", flush=True)
-        rows.append(run_row(fam, "train"))
+        rows.append({"tag": f"{fam}/train", **run_row(fam, "train")})
         print(json.dumps(rows[-1]), flush=True)
     if args.teacher:
         print("== teacher latency (flagship) ==", flush=True)
-        rows.append(run_row("rcnn", "teacher"))
+        rows.append({"tag": "rcnn/teacher", **run_row("rcnn", "teacher")})
         print(json.dumps(rows[-1]), flush=True)
+
+    fresh = {r["tag"] for r in rows}
+    keep = [r for r in old if r.get("tag") not in fresh]
+    rows = keep + rows
 
     with open(args.out, "w") as f:
         json.dump(rows, f, indent=1)
