@@ -83,9 +83,7 @@ class Attention(nn.Module):
             bias_h = jnp.einsum("bnhwd,hkd->bnhwk", rq, Rh)
             bias_w = jnp.einsum("bnhwd,wkd->bnhwk", rq, Rw)
 
-            if jax.default_backend() == "tpu" and 1024 <= h * w <= 4096:
-                # (N > 4096 falls back to XLA: the backward kernel's
-                # [TQ, N] f32 buffers outgrow VMEM without k-tiling)
+            if jax.default_backend() == "tpu" and h * w >= 1024:
                 # global blocks: Pallas kernel keeps the [N, N] rows in
                 # VMEM (the XLA path materializes 5+ [B, nh, N, N] f32
                 # tensors per block); decomposed bias stays decomposed

@@ -144,6 +144,8 @@ def main():
     canvas = {"vitdet": (1024, 1024), "detr": (640, 640)}.get(
         family, (1024, 2048)
     )
+    if "BENCH_CANVAS" in os.environ:  # e.g. "1024x2048"
+        canvas = tuple(int(x) for x in os.environ["BENCH_CANVAS"].split("x"))
     if platform == "cpu":  # driver smoke on CPU: shrink
         canvas, bpc = ((256, 512) if family != "detr" else (256, 256)), 1
 

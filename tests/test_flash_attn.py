@@ -68,6 +68,28 @@ def test_flash_relpos_grads_match_xla():
         )
 
 
+def test_flash_relpos_ktiled_backward():
+    # N=4096 > 2048 engages the k-tiled backward (4 tiles of 1024)
+    q, k, v, bh, bw = _inputs(seed=9, g=1, hg=64, wg=64)
+    scale = q.shape[-1] ** -0.5
+    co = jnp.asarray(
+        np.random.RandomState(2).randn(*q.shape).astype(np.float32) * 0.01
+    )
+    g_ref = jax.grad(lambda a: (_ref(*a, scale) * co).sum())(
+        (q, k, v, bh, bw)
+    )
+    g_got = jax.grad(
+        lambda a: (
+            flash_attention_relpos(*a, scale, 64, 64, interpret=True) * co
+        ).sum()
+    )((q, k, v, bh, bw))
+    for name, a, b in zip("q k v bh bw".split(), g_ref, g_got):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-5,
+            err_msg=f"d{name}",
+        )
+
+
 def test_flash_relpos_nonsquare_grid():
     # h_grid != w_grid exercises the interleave-vs-tile bias expanders
     q, k, v, bh, bw = _inputs(seed=5, hg=8, wg=32)

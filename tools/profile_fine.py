@@ -126,7 +126,7 @@ def main():
     valid512 = valid1000[:, :512]
 
     # 1. ROIAlign forward variants (512 train proposals)
-    for mode in ("corner_gather", "slice2x2", "fused"):
+    for mode in ("corner_gather", "pallas", "slice2x2", "fused"):
         timeit(
             lambda k, m=mode: roi_align_batched(
                 feats[:-1], rand_boxes(k, 512), valid512, det.roi_strides,
@@ -135,7 +135,7 @@ def main():
         )
 
     # 2. ROIAlign fwd+bwd (grad wrt features)
-    for mode in ("corner_gather", "fused"):
+    for mode in ("corner_gather", "pallas_fused", "fused"):
         def ra_loss(fs, b, m=mode):
             return roi_align_batched(
                 fs[:-1], b, valid512, det.roi_strides, 7, mode=m
