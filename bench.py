@@ -138,7 +138,9 @@ def main():
     # the detectron2-ViTDet square recipe resolution (full 1024x2048 ViT-B
     # DAOD does not fit 16 GB at batch 1); DETR at its MIN_SIZE_TRAIN
     # midpoint (reference Base-DETR.yaml:42).
-    default_bpc = {"rcnn": "2", "vitdet": "1", "convnext": "2",
+    # rcnn fits batch 4/chip at 1024x2048 (batch 5 exceeds HBM by ~21 MB);
+    # 4 amortizes the fixed per-step work ~3% better than 2
+    default_bpc = {"rcnn": "4", "vitdet": "1", "convnext": "2",
                    "yolo": "2", "detr": "2"}[family]
     bpc = int(os.environ.get("BENCH_BATCH_PER_CHIP", default_bpc))
     canvas = {"vitdet": (1024, 1024), "detr": (640, 640)}.get(
