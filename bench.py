@@ -115,6 +115,8 @@ def build_cfg(canvas, batch_per_chip, family="rcnn"):
     cfg.TPU.RPN_LOSS_IMPL = os.environ.get(
         "BENCH_RPN_IMPL", cfg.TPU.RPN_LOSS_IMPL
     )
+    if "BENCH_DTYPE" in os.environ:  # e.g. bfloat16 for the DETR trunk
+        cfg.TPU.COMPUTE_DTYPE = os.environ["BENCH_DTYPE"]
     return cfg
 
 
@@ -239,14 +241,21 @@ def main():
         "rcnn": "R50-FPN", "vitdet": "ViTDet-B", "convnext": "ConvNeXt-T",
         "yolo": "YOLOv5m", "detr": "DeformableDETR-R50",
     }
+    from aldi_tpu.config import compute_dtype
+    dt_name = {"bfloat16": "bf16", "float32": "f32"}.get(
+        str(compute_dtype(cfg)), str(compute_dtype(cfg))
+    )
+    # the assumed 5.0 img/s/chip yardstick is an R50-FPN figure; the
+    # reference publishes no per-family throughput, so comparing ViTDet/
+    # DETR rows against it would be misleading — those report null
     result = {
         "metric": f"aldi++ daod train images/sec/chip ({names[family]}, "
-        f"{canvas[0]}x{canvas[1]}, bf16, {platform})",
+        f"{canvas[0]}x{canvas[1]}, {dt_name}, {platform})",
         "value": round(img_per_s_per_chip, 3),
         "unit": "img/s/chip",
         "vs_baseline": round(
             img_per_s_per_chip / ASSUMED_BASELINE_IMG_PER_S_PER_CHIP, 3
-        ),
+        ) if family == "rcnn" else None,
     }
     print(json.dumps(result))
 

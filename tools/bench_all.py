@@ -35,7 +35,7 @@ def run_row(family, mode="train", extra_env=None):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--families", default="rcnn,vitdet,yolo,detr")
+    ap.add_argument("--families", default="rcnn,vitdet,convnext,yolo,detr")
     ap.add_argument("--teacher", action="store_true", default=True)
     ap.add_argument("--out", default=os.path.join(ROOT, "BENCH_FAMILIES.json"))
     args = ap.parse_args()
