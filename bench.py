@@ -242,9 +242,9 @@ def main():
         "yolo": "YOLOv5m", "detr": "DeformableDETR-R50",
     }
     from aldi_tpu.config import compute_dtype
-    dt_name = {"bfloat16": "bf16", "float32": "f32"}.get(
-        str(compute_dtype(cfg)), str(compute_dtype(cfg))
-    )
+    import numpy as np
+    dt_str = str(np.dtype(compute_dtype(cfg)))
+    dt_name = {"bfloat16": "bf16", "float32": "f32"}.get(dt_str, dt_str)
     # the assumed 5.0 img/s/chip yardstick is an R50-FPN figure; the
     # reference publishes no per-family throughput, so comparing ViTDet/
     # DETR rows against it would be misleading — those report null
