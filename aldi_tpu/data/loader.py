@@ -114,6 +114,18 @@ class StreamLoader:
     def __iter__(self):
         return self
 
+    def seek(self, batch_idx: int):
+        """Fast-forward the sampler to ``batch_idx``. Batch k is a pure
+        function of (seed, k), so exact resume needs no replay — the next
+        ``next()`` returns exactly the batch a fresh run would have seen at
+        iteration k."""
+        with self._lock:
+            for f in self._futures.values():
+                f.cancel()
+            self._futures = {}
+            self._next_read = batch_idx
+            self._next_submit = batch_idx
+
     def __next__(self) -> Dict[str, np.ndarray]:
         with self._lock:
             while self._next_submit < self._next_read + self._prefetch + 1:
@@ -175,6 +187,14 @@ class WeakStrongLoader:
                 cfg.TPU.PREFETCH,
             )
         self.canvas = canvas
+
+    def seek(self, batch_idx: int):
+        """Resume the deterministic batch stream at train iteration
+        ``batch_idx`` (both streams advance one batch per iteration)."""
+        if self.labeled is not None:
+            self.labeled.seek(batch_idx)
+        if self.unlabeled is not None:
+            self.unlabeled.seek(batch_idx)
 
     def __iter__(self):
         return self

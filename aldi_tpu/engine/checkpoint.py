@@ -10,6 +10,7 @@ model+optimizer+EMA+iteration; fresh start from a ``.pth`` containing both
 Native checkpoints are orbax PyTree checkpoints of the TrainState.
 """
 
+import json
 import os
 import re
 from typing import Optional
@@ -32,16 +33,34 @@ class Checkpointer:
         self.logger = logger
 
     # ----------------------------------------------------------- native IO
-    def save(self, state: TrainState, name: Optional[str] = None):
+    def save(self, state: TrainState, name: Optional[str] = None,
+             extra: Optional[dict] = None):
+        """``extra``: JSON-serializable trainer bookkeeping (best-AP50 map,
+        etc. — the reference's BestCheckpointer hook state,
+        ``aldi/trainer.py:187-196``) persisted alongside the pytree so a
+        resumed run does not re-save a worse "best"."""
         step = int(state.step)
         name = name or f"model_{step:07d}"
         path = os.path.join(self.dir, name)
         self._ckptr.save(path, jax.device_get(state), force=True)
+        if extra is not None:
+            with open(os.path.join(path, "trainer_state.json"), "w") as f:
+                json.dump(extra, f)
         with open(os.path.join(self.dir, _LAST), "w") as f:
             f.write(name)
         if self.logger:
             self.logger.info(f"Saved checkpoint {path}")
         return path
+
+    def load_extra(self, path: Optional[str] = None) -> dict:
+        path = path or self.latest_path()
+        if not path:
+            return {}
+        p = os.path.join(path, "trainer_state.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
 
     def has_checkpoint(self) -> bool:
         return os.path.exists(os.path.join(self.dir, _LAST))

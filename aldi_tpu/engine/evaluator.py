@@ -13,10 +13,41 @@ from collections import defaultdict
 from typing import Dict
 
 import jax
+import numpy as np
 
 from ..data.catalog import MetadataCatalog
 from ..data.loader import TestLoader
 from .coco_eval import evaluate_detections
+
+
+def pack_predictions(predictions: Dict[int, list]) -> "np.ndarray":
+    """Flatten per-image prediction dicts into fixed-width [N, 7] rows
+    (image_id | bbox xywh | score | category). Pure; unit-tested against
+    unpack as the round-trip under the multi-host gather."""
+    rows = [
+        [float(img_id), *d["bbox"], d["score"], float(d["category_id"])]
+        for img_id, dets in predictions.items()
+        for d in dets
+    ]
+    return np.asarray(rows, np.float32).reshape(-1, 7)
+
+
+def unpack_predictions(gathered: "np.ndarray",
+                       counts: "np.ndarray") -> Dict[int, list]:
+    """Inverse of pack over a gathered [P, cap, 7] array with ragged
+    per-process row counts [P]; padding rows beyond each count are
+    ignored."""
+    out = defaultdict(list)
+    for p in range(gathered.shape[0]):
+        for row in gathered[p, : int(counts[p])]:
+            out[int(row[0])].append(
+                {
+                    "bbox": [float(x) for x in row[1:5]],
+                    "score": float(row[5]),
+                    "category_id": int(row[6]),
+                }
+            )
+    return dict(out)
 
 
 def gather_predictions(predictions: Dict[int, list]) -> Dict[int, list]:
@@ -27,35 +58,18 @@ def gather_predictions(predictions: Dict[int, list]) -> Dict[int, list]:
     Predictions are packed as fixed-width rows (image_id | bbox | score |
     category) and padded to the max per-process count, then exchanged with
     ``multihost_utils.process_allgather`` over the ICI/DCN fabric."""
-    import numpy as np
-
     if jax.process_count() == 1:
         return predictions
     from jax.experimental import multihost_utils
 
-    rows = [
-        [float(img_id), *d["bbox"], d["score"], float(d["category_id"])]
-        for img_id, dets in predictions.items()
-        for d in dets
-    ]
-    local = np.asarray(rows, np.float32).reshape(-1, 7)
+    local = pack_predictions(predictions)
     n = np.asarray([local.shape[0]], np.int32)
     n_all = multihost_utils.process_allgather(n).reshape(-1)
-    cap = int(n_all.max())
+    cap = max(int(n_all.max()), 1)
     padded = np.zeros((cap, 7), np.float32)
     padded[: local.shape[0]] = local
     gathered = multihost_utils.process_allgather(padded)  # [P, cap, 7]
-    out = defaultdict(list)
-    for p in range(gathered.shape[0]):
-        for row in gathered[p, : int(n_all[p])]:
-            out[int(row[0])].append(
-                {
-                    "bbox": [float(x) for x in row[1:5]],
-                    "score": float(row[5]),
-                    "category_id": int(row[6]),
-                }
-            )
-    return out
+    return unpack_predictions(gathered, n_all)
 
 
 def inference_on_dataset(

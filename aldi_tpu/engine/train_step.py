@@ -184,8 +184,11 @@ def make_train_step(cfg, detector, tx):
                 mic_ratio=mic_ratio, mic_block_size=mic_block,
             )
 
-        # ---- per-microbatch loss; `micro` carries every chunked input
-        def loss_fn(params, micro, model_state_in):
+        # ---- per-microbatch loss; `micro` carries every chunked input.
+        # `streams` (static tuple) selects which stream forwards to build —
+        # all of them for the joint backward, one at a time for the
+        # stream-sequential backward below.
+        def loss_fn(params, micro, model_state_in, streams):
             model_state = model_state_in or {}
             loss_dict = {}
             mkeys = micro["keys"]
@@ -204,7 +207,7 @@ def make_train_step(cfg, detector, tx):
                 if mut:
                     model_state = jax.lax.stop_gradient(mut)
 
-            if do_weak:
+            if do_weak and "weak" in streams:
                 losses, aux = detector.forward_train(
                     variables(), micro["lab"]["image"], micro["lab"]["sizes"],
                     _gt_from_batch(micro["lab"]),
@@ -213,7 +216,7 @@ def make_train_step(cfg, detector, tx):
                 absorb(aux)
                 add(losses, "source_weak", n_lw / n_eff)
 
-            if do_strong:
+            if do_strong and "strong" in streams:
                 losses, aux = detector.forward_train(
                     variables(), micro["ls_images"], micro["lab"]["sizes"],
                     _gt_from_batch(micro["lab"]), mkeys[1],
@@ -222,7 +225,7 @@ def make_train_step(cfg, detector, tx):
                 absorb(aux)
                 add(losses, "source_strong", n_ls / n_eff)
 
-            if do_align:
+            if do_align and "align" in streams:
                 losses, a_aux = detector.forward_domain_align(
                     variables(), micro["uw"]["image"], micro["uw"]["sizes"],
                     mkeys[2], domain_label=0.0,
@@ -230,7 +233,7 @@ def make_train_step(cfg, detector, tx):
                 absorb(a_aux)
                 add(losses, "target_weak", n_uw / n_eff)
 
-            if do_distill:
+            if do_distill and "distill" in streams:
                 # student full train pass on pseudo-GT (strong view)
                 std_losses, s_aux = detector.forward_train(
                     variables(), micro["us_images"], micro["uw"]["sizes"],
@@ -259,6 +262,44 @@ def make_train_step(cfg, detector, tx):
             )
             return total, (loss_dict, model_state)
 
+        active_streams = tuple(
+            s for s, on in (("weak", do_weak), ("strong", do_strong),
+                            ("align", do_align), ("distill", do_distill))
+            if on
+        )
+
+        def grads_of(params, micro, model_state_in):
+            """value_and_grad over the stream composition.
+
+            SOLVER.BACKWARD_AT_END=False (reference ``aldi/trainer.py:75-79``)
+            backwards each stream as soon as its forward completes, bounding
+            peak activation memory to ONE stream instead of their sum — the
+            recipe that lets ViTDet-B DAOD fit HBM at the full benchmark
+            canvas. ``optimization_barrier`` ties stream k+1's params to
+            stream k's accumulated grads so XLA cannot interleave the
+            fwd+bwd pairs back into a joint (memory-peak) schedule. The loss
+            math is identical: stream weights are already normalized, and
+            grads simply sum."""
+            if cfg.SOLVER.BACKWARD_AT_END or len(active_streams) <= 1:
+                return jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, micro, model_state_in, active_streams
+                )
+            grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+            ms = model_state_in
+            loss_dict = {}
+            total = jnp.asarray(0.0, jnp.float32)
+            p = params
+            for i, s in enumerate(active_streams):
+                (t_s, (ld_s, ms)), g = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(p, micro, ms, (s,))
+                grads = jax.tree_util.tree_map(jnp.add, grads, g)
+                total = total + t_s
+                loss_dict.update(ld_s)
+                if i + 1 < len(active_streams):
+                    p, grads = jax.lax.optimization_barrier((p, grads))
+            return (total, (loss_dict, ms)), grads
+
         micro_full = {
             "lab": batch["labeled"] if (do_weak or do_strong) else None,
             "ls_images": ls_images,
@@ -271,9 +312,9 @@ def make_train_step(cfg, detector, tx):
 
         accum = max(int(cfg.TPU.GRAD_ACCUM), 1)
         if accum == 1:
-            (total, (loss_dict, new_model_state)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params, micro_full, state.model_state)
+            (total, (loss_dict, new_model_state)), grads = grads_of(
+                state.params, micro_full, state.model_state
+            )
         else:
             # reference gradient accumulation (SOLVER.IMS_PER_GPU chunks,
             # ``aldi/trainer.py:86-97``) as a lax.scan over microbatches:
@@ -301,9 +342,7 @@ def make_train_step(cfg, detector, tx):
 
             def body(carry, chunk):
                 grads_acc, ms = carry
-                (tot, (ld, new_ms)), g = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(state.params, chunk, ms)
+                (tot, (ld, new_ms)), g = grads_of(state.params, chunk, ms)
                 grads_acc = jax.tree_util.tree_map(
                     lambda a, b_: a + b_ / accum, grads_acc, g
                 )

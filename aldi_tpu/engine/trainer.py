@@ -130,6 +130,12 @@ class ALDITrainer:
             load_from_ema=self.cfg.EMA.ENABLED
             and self.cfg.EMA.LOAD_FROM_EMA_ON_START,
         )
+        if resume and self.checkpointer.has_checkpoint():
+            # restore best-AP50 bookkeeping so the resumed run does not
+            # re-save a worse "best" on its first eval
+            self._best = dict(
+                self.checkpointer.load_extra().get("best_ap50", {})
+            )
         if self.mesh is not None:
             self.state = replicate(self.state, self.mesh)
 
@@ -141,6 +147,10 @@ class ALDITrainer:
                 cfg, self.detector.canvas, seed=int(cfg.SEED if cfg.SEED >= 0 else 42)
             )
         start = int(jax.device_get(self.state.step))
+        if start:
+            # exact-resume determinism: continue the deterministic
+            # (seed, batch_index) sampler stream where the saved run stopped
+            self.loader.seek(start)
         max_iter = cfg.SOLVER.MAX_ITER
         self.logger.info(f"Starting training from iteration {start}")
         self.storage.iter = start
@@ -196,7 +206,9 @@ class ALDITrainer:
                 self._eval_and_track_best()
                 win_t0, win_iters = time.time(), 0  # exclude eval time
             if next_it % cfg.SOLVER.CHECKPOINT_PERIOD == 0 or next_it == max_iter:
-                self.checkpointer.save(self.state)
+                self.checkpointer.save(
+                    self.state, extra={"best_ap50": self._best}
+                )
                 win_t0, win_iters = time.time(), 0  # exclude ckpt time
             data_t0 = time.time()
 
@@ -257,6 +269,9 @@ class ALDITrainer:
             ap50 = res.get("bbox/AP50", float("nan"))
             if np.isfinite(ap50) and ap50 > self._best.get(ds, -1.0):
                 self._best[ds] = ap50
-                self.checkpointer.save(self.state, name=f"{ds}_model_best")
+                self.checkpointer.save(
+                    self.state, name=f"{ds}_model_best",
+                    extra={"best_ap50": self._best},
+                )
                 self.logger.info(f"New best {ds} AP50 = {ap50:.2f}")
         return results

@@ -234,9 +234,15 @@ class DeformableDETR(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, images, image_sizes, train: bool = False):
+    def __call__(self, images, image_sizes, train: bool = False,
+                 stage: str = "full"):
         """Returns dict with per-decoder-layer class logits and normalized
-        cxcywh boxes: logits [Ld, B, Q, K], boxes [Ld, B, Q, 4]."""
+        cxcywh boxes: logits [Ld, B, Q, K], boxes [Ld, B, Q, 4].
+
+        ``stage`` (static): "backbone" returns after R50 + input projections
+        + flatten, "encoder" after the encoder stack — profiling hooks for
+        the step decomposition (tools/profile_detr_step.py); training always
+        uses "full"."""
         b = images.shape[0]
         feats = ResNet(
             depth=50, out_features=("res3", "res4", "res5"),
@@ -292,6 +298,8 @@ class DeformableDETR(nn.Module):
         pos = jnp.concatenate(flat_pos, 1)
         mask = jnp.concatenate(flat_mask, 1)
         valid_ratios = jnp.stack(valid_ratios, 1).astype(jnp.float32)  # [B,L,2]
+        if stage == "backbone":
+            return {"src": src}
 
         # encoder reference points: normalized level grids x valid ratios
         ref_list = []
@@ -315,6 +323,8 @@ class DeformableDETR(nn.Module):
                 self.d_model, self.d_ff, self.n_heads, self.n_levels,
                 self.n_points, self.dropout, self.dtype, name=f"enc{i}",
             )(memory, pos, enc_ref, spatial_shapes, mask, train)
+        if stage == "encoder":
+            return {"memory": memory}
 
         # decoder
         query_embed = self.param(

@@ -101,12 +101,16 @@ def sample_proposals(
         classes = jnp.where(mlab == 1, gtc[midx], num_classes)
         # invalid candidates -> ignore label so they are never sampled
         classes_for_sampling = jnp.where(pv, classes, -1)
+        # independent keys: correlated draws between the label subsample
+        # and the index fill would skew the sampled-set distribution the
+        # distillation path depends on
+        k_sub, k_idx = jax.random.split(k)
         pos, neg = matcher_ops.subsample_labels(
-            k, classes_for_sampling, batch_size_per_image, positive_fraction,
-            bg_label=num_classes,
+            k_sub, classes_for_sampling, batch_size_per_image,
+            positive_fraction, bg_label=num_classes,
         )
         idx, valid, is_pos = matcher_ops.sample_fixed_indices(
-            k, pos, neg, batch_size_per_image
+            k_idx, pos, neg, batch_size_per_image
         )
         return {
             "boxes": props[idx],

@@ -83,11 +83,18 @@ class Attention(nn.Module):
             bias_h = jnp.einsum("bnhwd,hkd->bnhwk", rq, Rh)
             bias_w = jnp.einsum("bnhwd,wkd->bnhwk", rq, Rw)
 
-            if jax.default_backend() == "tpu" and h * w >= 1024:
+            from ..ops.pallas_flash_attn import (
+                flash_attention_relpos, supported_shape,
+            )
+
+            if (jax.default_backend() == "tpu" and h * w >= 1024
+                    and supported_shape(h * w, w)):
                 # global blocks: Pallas kernel keeps the [N, N] rows in
                 # VMEM (the XLA path materializes 5+ [B, nh, N, N] f32
-                # tensors per block); decomposed bias stays decomposed
-                from ..ops.pallas_flash_attn import flash_attention_relpos
+                # tensors per block); decomposed bias stays decomposed.
+                # supported_shape gates out canvases whose token count
+                # has no exact tiling (e.g. 50x84) — those take the XLA
+                # formulation below instead of silently dropping tokens.
 
                 g = b * self.num_heads
                 n = h * w

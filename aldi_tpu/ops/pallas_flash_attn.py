@@ -45,15 +45,41 @@ def _q_tile(n):
 def _k_tile(n, w_grid, backward=False):
     """k columns per tile: a multiple of w_grid near 1024 so every tile
     covers whole grid rows (bias expanders tile-invariant); full row when
-    n is small or w_grid doesn't divide cleanly. The forward takes the
-    whole row up to N=4096 (skips per-tile init/flush + accumulator
-    corrections, ~10% on ViTDet-B); the backward must stay tiled there —
-    its [N, D] dk/dv scratches + full-row buffers overflow the 16 MB
-    scoped-VMEM stack at tk=4096."""
-    if n <= (2048 if backward else 4096):
+    n is small. The forward takes the whole row up to N=4096 (skips
+    per-tile init/flush + accumulator corrections, ~10% on ViTDet-B); the
+    backward must stay tiled there — its [N, D] dk/dv scratches +
+    full-row buffers overflow the 16 MB scoped-VMEM stack at tk=4096.
+
+    Above the full-row cap, only exact tilings are valid: tk must divide
+    n (else trailing keys are dropped from the softmax), be a multiple of
+    8 (dk/dv scratch row slices), and cover a multiple of 8 whole grid
+    rows (the bias block is [rpt, TQ]-tiled). Returns None when no such
+    tile exists — callers fall back to the XLA path (see
+    `supported_shape`)."""
+    cap = 2048 if backward else 4096
+    if n <= cap:
         return n
-    tk = w_grid * max(1, 1024 // w_grid)
-    return tk if n % tk == 0 else n
+    best = None
+    tk = w_grid
+    while tk <= cap:
+        if n % tk == 0 and tk % 8 == 0 and (tk // w_grid) % 8 == 0:
+            # prefer ~1024 columns (VMEM vs per-tile overhead sweet spot)
+            if best is None or abs(tk - 1024) < abs(best - 1024):
+                best = tk
+        tk += w_grid
+    return best
+
+
+def supported_shape(n, w_grid):
+    """True iff the kernel's forward AND backward tilings exactly cover
+    all N tokens (no silently-dropped trailing queries/keys). Dispatch
+    sites must check this and keep the XLA formulation otherwise."""
+    if n % _q_tile(n) != 0:
+        return False
+    if n % w_grid != 0:
+        return False
+    return (_k_tile(n, w_grid) is not None
+            and _k_tile(n, w_grid, backward=True) is not None)
 
 
 def _expand_h(h_rows, w_grid):
@@ -297,4 +323,11 @@ def flash_attention_relpos(q, k, v, bh, bw, scale, h_grid, w_grid,
     bh: [G, N, h_grid] (bias toward k-row yk); bw: [G, N, w_grid].
     Differentiable in q, k, v, bh, bw.
     """
+    n = q.shape[1]
+    if not supported_shape(n, w_grid):
+        raise ValueError(
+            f"flash_attention_relpos: no exact tiling for N={n}, "
+            f"w_grid={w_grid} (trailing queries/keys would be dropped); "
+            "check supported_shape() and use the XLA path instead"
+        )
     return _attn(q, k, v, bh, bw, scale, h_grid, w_grid, interpret)

@@ -120,8 +120,82 @@ def build_cfg(canvas, batch_per_chip, family="rcnn"):
     return cfg
 
 
+def bench_loader():
+    """Host-pipeline throughput: JPEG decode + multiscale resize + flip +
+    pad at Cityscapes image sizes (2048x1024) through the production
+    StreamLoader (C++ aldi_native core when built, PIL otherwise). The
+    number to clear: sustained records/s >= train img/s/chip x chips, so
+    the host never gates the device step."""
+    import tempfile
+
+    from PIL import Image
+
+    from aldi_tpu.config import get_cfg
+    from aldi_tpu.data.loader import StreamLoader
+
+    try:
+        import aldi_native  # noqa: F401
+        native = True
+    except ImportError:
+        native = False
+
+    tmp = tempfile.mkdtemp(prefix="aldi_loader_bench_")
+    rng = np.random.default_rng(0)
+    records = []
+    for i in range(24):
+        # low-frequency content upsampled: JPEG entropy comparable to
+        # street scenes (pure noise decodes unrealistically slowly)
+        small = rng.integers(0, 255, (64, 128, 3)).astype(np.uint8)
+        img = Image.fromarray(small).resize((2048, 1024), Image.BILINEAR)
+        fn = os.path.join(tmp, f"{i}.jpg")
+        img.save(fn, quality=90)
+        records.append({
+            "file_name": fn,
+            "image_id": i,
+            "annotations": [
+                {"bbox": [50.0 + 20 * j, 40.0 + 10 * j, 180.0, 140.0],
+                 "category_id": j % 8, "iscrowd": 0, "area": 180.0 * 140.0}
+                for j in range(12)
+            ],
+        })
+
+    cfg = get_cfg()
+    cfg.TPU.CANVAS = (1024, 2048)
+    threads = int(os.environ.get("BENCH_LOADER_THREADS",
+                                 cfg.TPU.DATA_THREADS))
+    batch = int(os.environ.get("BENCH_LOADER_BATCH", "8"))
+    # time a COLD loader end to end: a warm-up phase lets the pool build a
+    # prefetch backlog that the timed window then drains for free, wildly
+    # overstating sustained throughput (observed 15x on 1 core). Cold
+    # timing undercounts only the thread-pool spin-up (~us).
+    next(StreamLoader(records[:1], 1, cfg, cfg.TPU.CANVAS, is_train=True,
+                      seed=0, num_threads=1, prefetch=0))  # page cache
+    n_batches = int(os.environ.get("BENCH_ITERS", "30"))
+    loader = StreamLoader(records, batch, cfg, cfg.TPU.CANVAS,
+                          is_train=True, seed=0, num_threads=threads,
+                          prefetch=threads)
+    t0 = time.time()
+    for _ in range(n_batches):
+        next(loader)
+    dt = time.time() - t0
+    rec_per_s = n_batches * batch / dt
+    print(json.dumps({
+        "metric": (
+            f"host loader records/s (2048x1024 JPEG decode+resize+pad, "
+            f"{threads} threads, native={native})"
+        ),
+        "value": round(rec_per_s, 2),
+        "unit": "records/s",
+        "vs_baseline": None,
+    }))
+
+
 def main():
     import jax
+
+    if os.environ.get("BENCH_MODE") == "loader":
+        bench_loader()
+        return
 
     # PRNG impl knob; measured on v5e: threefry 6.93 img/s vs rbg 6.45, so
     # the default stays threefry

@@ -26,3 +26,30 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault(
     "JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES", "all"
 )
+
+
+def _ensure_native_extension():
+    """Build the C++ data-loader core so its tests run instead of silently
+    skipping (it is shipped code, not an optional extra). Falls back to a
+    visible warning when the toolchain or libjpeg/libpng are absent."""
+    import importlib.util
+    import subprocess
+    import sys
+
+    if importlib.util.find_spec("aldi_native") is not None:
+        return
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        subprocess.run(
+            [sys.executable, os.path.join(root, "native", "setup.py")],
+            cwd=root, check=True, capture_output=True, timeout=600,
+        )
+        importlib.invalidate_caches()
+        if root not in sys.path:
+            sys.path.insert(0, root)
+    except Exception as e:
+        sys.stderr.write(f"[conftest] aldi_native build failed ({e}); "
+                         "native loader tests will skip\n")
+
+
+_ensure_native_extension()

@@ -213,3 +213,29 @@ def test_convnext_and_boxhead_ln_names():
     assert _torch_name_for(
         ("box_head", "conv1_norm", "scale"), "params"
     ) == "roi_heads.box_head.conv1.norm.weight"
+
+
+def test_checkpointer_persists_trainer_bookkeeping(tmp_path):
+    """Best-AP50 bookkeeping rides the checkpoint (the reference's
+    BestCheckpointer hook state is per-run only, aldi/trainer.py:187-196;
+    we own the format, so persist it): a resumed run must see the saved
+    best map and not re-save a worse "best"."""
+    from aldi_tpu.engine.checkpoint import Checkpointer
+    from aldi_tpu.engine.train_step import create_train_state
+    from aldi_tpu.models import build_detector
+
+    cfg = tiny_cfg()
+    det = build_detector(cfg)
+    state, _ = create_train_state(cfg, det, jax.random.PRNGKey(0))
+
+    ckptr = Checkpointer(str(tmp_path))
+    best = {"foggy_val": 51.25, "cs_val": 62.0}
+    ckptr.save(state, extra={"best_ap50": best})
+
+    ckptr2 = Checkpointer(str(tmp_path))
+    assert ckptr2.has_checkpoint()
+    got = ckptr2.load_extra()
+    assert got == {"best_ap50": best}
+    # a checkpoint without the sidecar degrades to empty bookkeeping
+    ckptr2.save(state, name="no_extra")
+    assert ckptr2.load_extra() == {}

@@ -130,3 +130,44 @@ def test_gather_predictions_simulated_two_processes(monkeypatch):
     assert len(merged[7]) == 1
     scores = sorted(d["score"] for d in merged[1])
     assert scores == [0.5, 0.75]
+
+
+def test_pack_unpack_predictions_roundtrip():
+    """The multi-host gather's pack/unpack round-trip over a synthetic
+    [P, cap, 7] gathered array with ragged per-process counts — the path
+    that never executes in single-process test runs."""
+    import numpy as np
+
+    from aldi_tpu.engine.evaluator import (
+        pack_predictions, unpack_predictions,
+    )
+
+    preds_p0 = {
+        7: [{"bbox": [1.0, 2.0, 3.0, 4.0], "score": 0.875, "category_id": 2}],
+        9: [
+            {"bbox": [0.0, 0.0, 5.0, 5.0], "score": 0.5, "category_id": 0},
+            {"bbox": [2.0, 2.0, 2.0, 2.0], "score": 0.25, "category_id": 1},
+        ],
+    }
+    preds_p1 = {
+        7: [{"bbox": [4.0, 4.0, 1.0, 1.0], "score": 0.75, "category_id": 2}],
+    }
+    preds_p2 = {}  # a process with zero predictions
+
+    packs = [pack_predictions(p) for p in (preds_p0, preds_p1, preds_p2)]
+    counts = np.asarray([p.shape[0] for p in packs], np.int32)
+    cap = max(int(counts.max()), 1)
+    gathered = np.zeros((3, cap, 7), np.float32)
+    # poison the padding rows: unpack must ignore them
+    gathered[:, :, 0] = 12345.0
+    for i, p in enumerate(packs):
+        gathered[i, : p.shape[0]] = p
+
+    out = unpack_predictions(gathered, counts)
+    assert set(out) == {7, 9}
+    assert len(out[7]) == 2 and len(out[9]) == 2
+    scores7 = sorted(d["score"] for d in out[7])
+    assert scores7 == [0.75, 0.875]
+    got = next(d for d in out[7] if d["score"] == 0.875)
+    assert got["bbox"] == [1.0, 2.0, 3.0, 4.0] and got["category_id"] == 2
+    assert 12345 not in out

@@ -10,7 +10,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from aldi_tpu.ops.pallas_flash_attn import flash_attention_relpos
+import pytest
+
+from aldi_tpu.ops.pallas_flash_attn import (
+    _k_tile, flash_attention_relpos, supported_shape,
+)
 
 
 def _ref(q, k, v, bh, bw, scale):
@@ -88,6 +92,39 @@ def test_flash_relpos_ktiled_backward():
             np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-5,
             err_msg=f"d{name}",
         )
+
+
+def test_supported_shape_gates_inexact_tilings():
+    # 50x84 (canvas 800x1344): N=4200 is not a multiple of tq=256 —
+    # the kernel would leave trailing query blocks uninitialized
+    assert not supported_shape(50 * 84, 84)
+    # flagship/benchmark grids stay supported
+    assert supported_shape(64 * 64, 64)
+    assert supported_shape(64 * 128, 128)
+    assert supported_shape(16 * 16, 16)
+    # 64x96: N=6144; old fallback returned tk=N=6144 on the backward,
+    # overflowing scoped VMEM — now an exact sub-tiling must exist or
+    # the shape is rejected outright
+    tk_bwd = _k_tile(64 * 96, 96, backward=True)
+    assert tk_bwd is None or (6144 % tk_bwd == 0 and tk_bwd <= 2048)
+    if not supported_shape(64 * 96, 96):
+        with pytest.raises(ValueError):
+            q, k, v, bh, bw = _inputs(seed=1, g=1, hg=64, wg=96)
+            flash_attention_relpos(q, k, v, bh, bw, 0.125, 64, 96,
+                                   interpret=True)
+
+
+def test_k_tile_exact_or_none():
+    for hg, wg in [(64, 64), (64, 128), (32, 96), (80, 100), (50, 84)]:
+        n = hg * wg
+        for backward in (False, True):
+            tk = _k_tile(n, wg, backward=backward)
+            if tk is None:
+                continue
+            assert n % tk == 0
+            assert tk % wg == 0 or tk == n
+            if n > (2048 if backward else 4096):
+                assert tk <= (2048 if backward else 4096)
 
 
 def test_flash_relpos_nonsquare_grid():

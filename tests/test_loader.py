@@ -78,3 +78,26 @@ def test_loader_batch_contract(cfg):
                 h, w = lab["sizes"][i]
                 assert 0 <= b[0] < b[2] <= w + 1e-3
                 assert 0 <= b[1] < b[3] <= h + 1e-3
+
+
+def test_loader_seek_resumes_exact_stream(cfg):
+    """seek(k) must continue the deterministic sampler stream exactly where
+    a fresh run would be at iteration k (exact-resume determinism; the
+    reference has no equivalent — its worker processes restart the
+    sampler)."""
+    from aldi_tpu.data.loader import WeakStrongLoader
+
+    fresh = WeakStrongLoader(cfg, (128, 128), seed=3, num_threads=2)
+    want = [next(fresh) for _ in range(6)][3:]
+
+    resumed = WeakStrongLoader(cfg, (128, 128), seed=3, num_threads=2)
+    next(resumed)  # consume a batch, then seek past it
+    resumed.seek(3)
+    got = [next(resumed) for _ in range(3)]
+
+    for ba, bb in zip(want, got):
+        for stream in ("labeled", "unlabeled"):
+            for k in ba[stream]:
+                np.testing.assert_array_equal(
+                    ba[stream][k], bb[stream][k], err_msg=f"{stream}/{k}"
+                )

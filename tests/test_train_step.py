@@ -154,6 +154,75 @@ def test_daod_step_jit_cached_second_call():
     assert np.isfinite(float(m2["total_loss"]))
 
 
+def test_stream_sequential_backward_matches_joint():
+    """SOLVER.BACKWARD_AT_END=False (stream-sequential grads, the
+    reference's memory trick at aldi/trainer.py:75-79) must produce the
+    SAME loss values and updated params as the joint backward — only the
+    schedule (peak memory) differs."""
+    def run(backward_at_end):
+        cfg = daod_cfg()
+        cfg.SOLVER.BACKWARD_AT_END = backward_at_end
+        cfg.freeze()
+        det = build_detector(cfg)
+        state, tx = create_train_state(cfg, det, jax.random.PRNGKey(0))
+        step_fn = make_train_step(cfg, det, tx)
+        batch = make_batch(with_unlabeled=True)
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(5))
+        return state, {k: float(v) for k, v in metrics.items()}
+
+    s_joint, m_joint = run(True)
+    s_seq, m_seq = run(False)
+    for k in m_joint:
+        np.testing.assert_allclose(
+            m_seq[k], m_joint[k], rtol=1e-4, atol=1e-6, err_msg=k
+        )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        s_joint.params, s_seq.params,
+    )
+
+
+def test_teacher_box_head_gets_student_sampled_boxes(monkeypatch):
+    """The invariant replacing the reference's ManualSeed/
+    ReplaceProposalsOnce hooks (aldi/helpers.py:17-42): in a distill step
+    the teacher box head must consume byte-identical sampled boxes to the
+    student's, so the compared logits line up proposal-for-proposal."""
+    cfg = daod_cfg()
+    det = build_detector(cfg)
+    variables = det.init_variables(jax.random.PRNGKey(0))
+    images, sizes, gt = tiny_batch()
+
+    _, s_aux = det.forward_train(
+        variables, images, sizes, gt, jax.random.PRNGKey(1)
+    )
+    ctx, _, _ = det.forward_teacher_ctx(
+        variables, images, sizes, jax.random.PRNGKey(2),
+        threshold=0.1, max_gt=8,
+    )
+
+    captured = {}
+    orig = det.box_head
+
+    def spy(v, feats, boxes, valid, **kw):
+        captured["boxes"] = boxes
+        captured["valid"] = valid
+        return orig(v, feats, boxes, valid, **kw)
+
+    monkeypatch.setattr(det, "box_head", spy)
+    det.distill_losses(variables, ctx, s_aux)
+
+    np.testing.assert_array_equal(
+        np.asarray(captured["boxes"]),
+        np.asarray(s_aux["sampled"]["boxes"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(captured["valid"]),
+        np.asarray(s_aux["sampled"]["valid"]),
+    )
+
+
 def test_grad_accum_matches_full_batch():
     """TPU.GRAD_ACCUM=2 must give the same loss values (same data, same
     per-chunk rngs differ, so compare only loss magnitude/finiteness and

@@ -62,6 +62,12 @@ def main():
         print("== teacher latency (flagship) ==", flush=True)
         rows.append({"tag": "rcnn/teacher", **run_row("rcnn", "teacher")})
         print(json.dumps(rows[-1]), flush=True)
+    print("== host loader throughput ==", flush=True)
+    rows.append({
+        "tag": "host/loader",
+        **run_row("rcnn", "loader", {"BENCH_LOADER_THREADS": "1"}),
+    })
+    print(json.dumps(rows[-1]), flush=True)
 
     fresh = {r["tag"] for r in rows}
     keep = [r for r in old if r.get("tag") not in fresh]
