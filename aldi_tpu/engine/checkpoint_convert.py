@@ -265,12 +265,27 @@ def _detr_name_for(path: Tuple[str, ...], collection: str):
     if top == "reference_points":
         return [f"transformer.reference_points.{lm[leaf]}",
                 f"reference_points.{lm[leaf]}"], None
-    if top == "class_embed":
+    if top.startswith("class_embed"):
+        suffix = top[len("class_embed"):]
+        if suffix == "_enc":
+            # two-stage encoder head: torch list index dec_layers (6 in
+            # every shipped depth)
+            return [f"class_embed.6.{lm[leaf]}"], None
+        if suffix:  # per-layer head under WITH_BOX_REFINE
+            return [f"class_embed.{int(suffix)}.{lm[leaf]}"], None
         return [f"class_embed.0.{lm[leaf]}", f"class_embed.{lm[leaf]}"], None
-    if top == "bbox_embed":
+    if top.startswith("bbox_embed"):
+        suffix = top[len("bbox_embed"):]
         i = int(parts[1][1:])  # l{i}
+        if suffix == "_enc":
+            return [f"bbox_embed.6.layers.{i}.{lm[leaf]}"], None
+        if suffix:
+            return [f"bbox_embed.{int(suffix)}.layers.{i}.{lm[leaf]}"], None
         return [f"bbox_embed.0.layers.{i}.{lm[leaf]}",
                 f"bbox_embed.layers.{i}.{lm[leaf]}"], None
+    if top in ("enc_output", "enc_output_norm", "pos_trans",
+               "pos_trans_norm"):
+        return [f"transformer.{top}.{lm[leaf]}"], None
     if top.startswith(("enc", "dec")):
         is_enc = top.startswith("enc")
         i = int(top[3:])

@@ -89,13 +89,22 @@ class MSDeformAttn(nn.Module):
             b, lq, h, L, p
         )
 
-        normalizer = jnp.asarray(
-            [[ww, hh] for hh, ww in spatial_shapes], jnp.float32
-        )  # [L, 2] (x, y) order
-        loc = (
-            reference_points[:, :, None, :, None, :]
-            + offsets / normalizer[None, None, None, :, None, :]
-        )
+        if reference_points.shape[-1] == 4:
+            # box-refine/two-stage path: refs carry (cx, cy, w, h); offsets
+            # scale with the box size (official Deformable-DETR semantics)
+            ref = reference_points[:, :, None, :, None, :]
+            loc = (
+                ref[..., :2]
+                + offsets / self.n_points * ref[..., 2:] * 0.5
+            )
+        else:
+            normalizer = jnp.asarray(
+                [[ww, hh] for hh, ww in spatial_shapes], jnp.float32
+            )  # [L, 2] (x, y) order
+            loc = (
+                reference_points[:, :, None, :, None, :]
+                + offsets / normalizer[None, None, None, :, None, :]
+            )
         out = ms_deform_attn_core(value, spatial_shapes, loc, attn)
         return nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(
             out.astype(self.dtype)
@@ -218,6 +227,21 @@ def sine_position_embedding(mask, d_model=256, temperature=10000.0,
     return jnp.concatenate([pos_y, pos_x], -1)
 
 
+def proposal_pos_embed(coords_unact, d_model=256, temperature=10000.0,
+                       scale=2 * math.pi):
+    """[B, Q, 4] unactivated coords -> [B, Q, 2*d_model] sine embeddings
+    (official ``get_proposal_pos_embed``: 128 dims per coordinate)."""
+    half = d_model // 2  # 128 per coordinate
+    dim_t = jnp.arange(half, dtype=jnp.float32)
+    dim_t = temperature ** (2 * (dim_t // 2) / half)
+    p = jax.nn.sigmoid(coords_unact.astype(jnp.float32)) * scale
+    pos = p[..., None] / dim_t  # [B, Q, 4, half]
+    pos = jnp.stack(
+        [jnp.sin(pos[..., 0::2]), jnp.cos(pos[..., 1::2])], -1
+    ).reshape(*coords_unact.shape[:2], 4 * half)
+    return pos
+
+
 class DeformableDETR(nn.Module):
     num_classes: int
     num_queries: int = 300
@@ -231,6 +255,8 @@ class DeformableDETR(nn.Module):
     dropout: float = 0.1
     freeze_at: int = 2
     pos_scale: float = 2 * math.pi
+    with_box_refine: bool = False
+    two_stage: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -326,49 +352,133 @@ class DeformableDETR(nn.Module):
         if stage == "encoder":
             return {"memory": memory}
 
-        # decoder
-        query_embed = self.param(
-            "query_embed", nn.initializers.normal(1.0),
-            (self.num_queries, 2 * self.d_model),
-        ).astype(self.dtype)
-        query_pos, tgt = jnp.split(query_embed, 2, axis=-1)
-        query_pos = jnp.tile(query_pos[None], (b, 1, 1))
-        tgt = jnp.tile(tgt[None], (b, 1, 1))
-        ref = jax.nn.sigmoid(
-            nn.Dense(2, dtype=jnp.float32, name="reference_points")(
-                query_pos.astype(jnp.float32)
-            )
-        )  # [B, Q, 2]
+        # ---- detection heads: shared across decoder layers in the base
+        # variant; per-layer copies under WITH_BOX_REFINE; two-stage adds
+        # one more pair applied to the encoder output (official
+        # Deformable-DETR head-list layout, torch names class_embed.{i})
+        cls_bias = nn.initializers.constant(-math.log((1 - 0.01) / 0.01))
 
-        class_head = nn.Dense(
-            self.num_classes, dtype=self.dtype,
-            bias_init=nn.initializers.constant(-math.log((1 - 0.01) / 0.01)),
-            name="class_embed",
-        )
-        bbox_head = MLP(self.d_model, 4, 3, dtype=self.dtype,
-                        name="bbox_embed")
+        def make_heads(suffix):
+            return (
+                nn.Dense(self.num_classes, dtype=self.dtype,
+                         bias_init=cls_bias, name=f"class_embed{suffix}"),
+                MLP(self.d_model, 4, 3, dtype=self.dtype,
+                    name=f"bbox_embed{suffix}"),
+            )
+
+        if self.with_box_refine:
+            heads = [make_heads(str(i)) for i in range(self.dec_layers)]
+        else:
+            shared = make_heads("")
+            heads = [shared] * self.dec_layers
+
+        out_extra = {}
+        if self.two_stage:
+            # -------- first stage: score every encoder token as a proposal
+            # (gen_encoder_output_proposals semantics): per-level grid
+            # centers in the valid region, wh = 0.05 * 2^lvl
+            prop_list, prop_valid_list = [], []
+            for lvl, (hh, ww) in enumerate(spatial_shapes):
+                vw = valid_ratios[:, lvl, 0:1] * ww  # [B, 1]
+                vh = valid_ratios[:, lvl, 1:2] * hh
+                gy = (jnp.arange(hh, dtype=jnp.float32) + 0.5)
+                gx = (jnp.arange(ww, dtype=jnp.float32) + 0.5)
+                my, mx = jnp.meshgrid(gy, gx, indexing="ij")
+                cx = mx.reshape(-1)[None] / jnp.maximum(vw, 1.0)  # [B, HW]
+                cy = my.reshape(-1)[None] / jnp.maximum(vh, 1.0)
+                wh_p = jnp.full_like(cx, 0.05 * (2.0 ** lvl))
+                prop_list.append(jnp.stack([cx, cy, wh_p, wh_p], -1))
+            proposals = jnp.concatenate(prop_list, 1)  # [B, Lv, 4]
+            prop_ok = jnp.all(
+                (proposals > 0.01) & (proposals < 0.99), -1
+            ) & mask  # inside valid region and not padding
+            prop_unact = jnp.where(
+                prop_ok[..., None], inverse_sigmoid(proposals), 1e6
+            )
+            om = jnp.where(prop_ok[..., None], memory, 0.0)
+            om = nn.Dense(self.d_model, dtype=self.dtype,
+                          name="enc_output")(om)
+            om = nn.LayerNorm(dtype=jnp.float32, name="enc_output_norm")(
+                om
+            ).astype(self.dtype)
+            enc_cls_head, enc_box_head = make_heads("_enc")
+            enc_logits = enc_cls_head(om).astype(jnp.float32)  # [B, Lv, K]
+            enc_logits = jnp.where(
+                prop_ok[..., None], enc_logits, -1e4
+            )
+            enc_coords_unact = (
+                enc_box_head(om).astype(jnp.float32) + prop_unact
+            )
+            out_extra["enc_logits"] = enc_logits
+            out_extra["enc_boxes"] = jax.nn.sigmoid(enc_coords_unact)
+
+            # top-k proposals by first-class score become the object queries
+            _, topk_idx = jax.lax.top_k(enc_logits[..., 0],
+                                        self.num_queries)
+            topk_unact = jax.lax.stop_gradient(
+                jnp.take_along_axis(
+                    enc_coords_unact, topk_idx[..., None], axis=1
+                )
+            )  # [B, Q, 4]
+            ref = jax.nn.sigmoid(topk_unact)
+            pe = proposal_pos_embed(topk_unact, self.d_model,
+                                    scale=self.pos_scale)
+            pt = nn.Dense(2 * self.d_model, dtype=self.dtype,
+                          name="pos_trans")(pe.astype(self.dtype))
+            pt = nn.LayerNorm(dtype=jnp.float32, name="pos_trans_norm")(
+                pt
+            ).astype(self.dtype)
+            query_pos, tgt = jnp.split(pt, 2, axis=-1)
+        else:
+            query_embed = self.param(
+                "query_embed", nn.initializers.normal(1.0),
+                (self.num_queries, 2 * self.d_model),
+            ).astype(self.dtype)
+            query_pos, tgt = jnp.split(query_embed, 2, axis=-1)
+            query_pos = jnp.tile(query_pos[None], (b, 1, 1))
+            tgt = jnp.tile(tgt[None], (b, 1, 1))
+            ref = jax.nn.sigmoid(
+                nn.Dense(2, dtype=jnp.float32, name="reference_points")(
+                    query_pos.astype(jnp.float32)
+                )
+            )  # [B, Q, 2]
 
         dec_layer = nn.remat(DecoderLayer, static_argnums=(5, 7))
         logits_per_layer, boxes_per_layer = [], []
         for i in range(self.dec_layers):
-            dec_ref = ref[:, :, None, :] * valid_ratios[:, None, :, :]
+            if ref.shape[-1] == 4:
+                dec_ref = ref[:, :, None, :] * jnp.concatenate(
+                    [valid_ratios, valid_ratios], -1
+                )[:, None, :, :]
+            else:
+                dec_ref = ref[:, :, None, :] * valid_ratios[:, None, :, :]
             tgt = dec_layer(
                 self.d_model, self.d_ff, self.n_heads, self.n_levels,
                 self.n_points, self.dropout, self.dtype, name=f"dec{i}",
             )(tgt, query_pos, dec_ref, memory, spatial_shapes, mask, train)
+            class_head, bbox_head = heads[i]
             logits_per_layer.append(
                 class_head(tgt).astype(jnp.float32)
             )
             delta = bbox_head(tgt).astype(jnp.float32)
-            xy = jax.nn.sigmoid(
-                delta[..., :2] + inverse_sigmoid(ref)
-            )
-            wh = jax.nn.sigmoid(delta[..., 2:])
-            boxes_per_layer.append(jnp.concatenate([xy, wh], -1))
+            if ref.shape[-1] == 4:
+                new_ref = jax.nn.sigmoid(delta + inverse_sigmoid(ref))
+            else:
+                new_ref = jnp.concatenate(
+                    [jax.nn.sigmoid(delta[..., :2] + inverse_sigmoid(ref)),
+                     jax.nn.sigmoid(delta[..., 2:])], -1,
+                )
+            boxes_per_layer.append(new_ref)
+            if self.with_box_refine:
+                # iterative refinement: next layer samples around this
+                # layer's box prediction (gradient-detached, official
+                # semantics)
+                ref = jax.lax.stop_gradient(new_ref)
 
         return {
             "logits": jnp.stack(logits_per_layer),  # [Ld, B, Q, K]
             "boxes": jnp.stack(boxes_per_layer),  # [Ld, B, Q, 4] cxcywh norm
+            **out_extra,
         }
 
 
@@ -459,15 +569,6 @@ class DETRDetector:
         self.dtype = compute_dtype(cfg)
         self.canvas = resolve_canvas(cfg)
         dd = cfg.MODEL.DEFORMABLE_DETR
-        # Variant flags the reference exposes (configs/Base-DETR.yaml:14-15)
-        # but every shipped config leaves off. Not implemented here — reject
-        # loudly rather than silently training the base variant.
-        if dd.WITH_BOX_REFINE or dd.TWO_STAGE:
-            raise NotImplementedError(
-                "MODEL.DEFORMABLE_DETR.WITH_BOX_REFINE / TWO_STAGE are not "
-                "implemented in aldi_tpu (no shipped reference config "
-                "enables them); set both to False."
-            )
         self.num_classes = dd.NUM_CLASSES
         t = dd.TRANSFORMER
         self.module = DeformableDETR(
@@ -483,8 +584,13 @@ class DETRDetector:
             dropout=t.DROPOUT,
             freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
             pos_scale=dd.POSITION_EMBEDDING_SCALE,
+            # variant flags from configs/Base-DETR.yaml:21-22 (shipped
+            # configs leave both off; implemented for reference parity)
+            with_box_refine=dd.WITH_BOX_REFINE,
+            two_stage=dd.TWO_STAGE,
             dtype=self.dtype,
         )
+        self.two_stage = dd.TWO_STAGE
         self.pixel_mean = jnp.asarray(cfg.MODEL.PIXEL_MEAN, jnp.float32)
         self.pixel_std = jnp.asarray(cfg.MODEL.PIXEL_STD, jnp.float32)
         loss_cfg = dd.LOSS
@@ -536,6 +642,18 @@ class DETRDetector:
             losses[f"loss_ce{suffix}"] = self.coef["ce"] * ce
             losses[f"loss_bbox{suffix}"] = self.coef["bbox"] * l1
             losses[f"loss_giou{suffix}"] = self.coef["giou"] * giou
+        if self.two_stage and "enc_logits" in out:
+            # first-stage proposals are class-agnostic: all gt classes
+            # become 0 for the encoder-output loss (official SetCriterion
+            # bin_targets)
+            ce, l1, giou = detr_losses_single_layer(
+                out["enc_logits"], out["enc_boxes"], gt_n,
+                jnp.zeros_like(gt.classes), gt.valid,
+                self.num_classes, self.focal_alpha, num_boxes,
+            )
+            losses["loss_ce_enc"] = self.coef["ce"] * ce
+            losses["loss_bbox_enc"] = self.coef["bbox"] * l1
+            losses["loss_giou_enc"] = self.coef["giou"] * giou
         aux = {"mutated_vars": {}}
         return losses, aux
 

@@ -100,13 +100,18 @@ def _finish(acc, s, c, output_size, sr, out_dtype):
     return o.swapaxes(0, 1).astype(out_dtype)  # [oy, ox, c]
 
 
-def _fine_kernel(lvl_ref, y0_ref, x0_ref, nx_ref, nc_ref, bx0_ref, by0_ref,
-                 bx1_ref, by1_ref, feat_hbm, out_ref, scratch, acc, sem, *,
-                 level, h, w, w_pad, c, scale, output_size, sr, out_dtype):
+def _fine_kernel(bi_ref, lvl_ref, y0_ref, x0_ref, nx_ref, nc_ref, bx0_ref,
+                 by0_ref, bx1_ref, by1_ref, feat_hbm, out_ref, scratch, acc,
+                 sem, *, level, h, w, w_pad, c, scale, output_size, sr,
+                 out_dtype):
     """One box per grid step; a fori_loop walks the box's window chunks.
-    (An 8-box-per-step variant with parallel in-flight DMAs was tried and
-    measured 2.2x SLOWER with a 4.5x compile blowup -- the 24 unrolled
-    pl.when branches defeat Mosaic; see git history.)"""
+    The batch is folded into the grid: ``bi_ref`` carries each box's image
+    index and every window DMA slices ``feat_hbm[bi]`` — ONE pallas_call
+    per level covers the whole batch (ADVICE r2: the python-loop-per-image
+    variant built B independent kernel chains and compile time grew with
+    batch). (An 8-box-per-step variant with parallel in-flight DMAs was
+    tried and measured 2.2x SLOWER with a 4.5x compile blowup -- the 24
+    unrolled pl.when branches defeat Mosaic; see git history.)"""
     i = pl.program_id(0)
     s = output_size * sr
 
@@ -114,6 +119,7 @@ def _fine_kernel(lvl_ref, y0_ref, x0_ref, nx_ref, nc_ref, bx0_ref, by0_ref,
     def _():
         ys, y_oob = _axis_samples(by0_ref[i], by1_ref[i], h, scale, s)
         xs, x_oob = _axis_samples(bx0_ref[i], bx1_ref[i], w, scale, s)
+        bi = bi_ref[i]
         y0c = y0_ref[i]
         x0c = x0_ref[i]
         nx = nx_ref[i]
@@ -127,7 +133,7 @@ def _fine_kernel(lvl_ref, y0_ref, x0_ref, nx_ref, nc_ref, bx0_ref, by0_ref,
             s_y = jnp.minimum(lo_y, h - CHUNK_Y)
             s_x = pl.multiple_of(jnp.minimum(lo_x, w_pad - CHUNK_X), 8)
             dma = pltpu.make_async_copy(
-                feat_hbm.at[pl.ds(s_y, CHUNK_Y), pl.ds(s_x, CHUNK_X), :],
+                feat_hbm.at[bi, pl.ds(s_y, CHUNK_Y), pl.ds(s_x, CHUNK_X), :],
                 scratch, sem,
             )
             dma.start()
@@ -150,9 +156,12 @@ def _fine_kernel(lvl_ref, y0_ref, x0_ref, nx_ref, nc_ref, bx0_ref, by0_ref,
         out_ref[...] = jnp.zeros_like(out_ref)
 
 
-def _resident_kernel(lvl_ref, bx0_ref, by0_ref, bx1_ref, by1_ref,
+def _resident_kernel(bi_ref, lvl_ref, bx0_ref, by0_ref, bx1_ref, by1_ref,
                      feat_ref, out_ref, *, level, h, w, c, scale,
                      output_size, sr, out_dtype):
+    """Tiny level held VMEM-resident per image; the block index_map picks
+    image ``bi_ref[i]``, and Pallas skips the copy while consecutive grid
+    steps (boxes are image-major) keep the same index — B fetches total."""
     i = pl.program_id(0)
     s = output_size * sr
 
@@ -162,7 +171,7 @@ def _resident_kernel(lvl_ref, bx0_ref, by0_ref, bx1_ref, by1_ref,
         xs, x_oob = _axis_samples(bx0_ref[i], bx1_ref[i], w, scale, s)
         ay = _interp_matrix(ys, y_oob, 0.0, h, h)
         ax = _interp_matrix(xs, x_oob, 0.0, w, w)
-        v = feat_ref[...].astype(jnp.float32).reshape(h, w * c)
+        v = feat_ref[0].astype(jnp.float32).reshape(h, w * c)
         out_ref[...] = _finish(_chunk_product(ay, ax, v, s, c), s, c,
                                output_size, sr, out_dtype)[None]
 
@@ -171,31 +180,30 @@ def _resident_kernel(lvl_ref, bx0_ref, by0_ref, bx1_ref, by1_ref,
         out_ref[...] = jnp.zeros_like(out_ref)
 
 
-def roi_align_pallas(features, boxes, box_valid, strides, output_size=7,
-                     sampling_ratio=2, interpret=False):
-    """Multi-level ROIAlign forward for ONE image via per-level kernels.
-
-    features: per-level [H_l, W_l, C]; boxes [P, 4] xyxy; box_valid [P].
-    Returns [P, output_size, output_size, C] in the features' dtype.
-    """
-    p_n = boxes.shape[0]
+def _roi_align_pallas_flat(features, flat_boxes, flat_valid, b_idx,
+                           strides, output_size=7, sampling_ratio=2,
+                           interpret=False):
+    """Core: features per-level [B, H_l, W_l, C]; flat_boxes [N, 4] xyxy
+    with per-box image index b_idx [N] (image-major order). Returns
+    [N, output_size, output_size, C]."""
+    n = flat_boxes.shape[0]
     c = int(features[0].shape[-1])
     sr = sampling_ratio
     min_level = int(math.log2(strides[0]))
     max_level = int(math.log2(strides[-1]))
-    lvl = assign_levels(boxes, min_level, max_level)  # [P] 0-based
-    lvl = jnp.where(box_valid, lvl, jnp.int32(-1))  # invalid: no level
+    lvl = assign_levels(flat_boxes, min_level, max_level)  # [N] 0-based
+    lvl = jnp.where(flat_valid, lvl, jnp.int32(-1))  # invalid: no level
 
     out_dtype = features[0].dtype
-    total = jnp.zeros((p_n, output_size, output_size, c), out_dtype)
-    boxes_f = boxes.astype(jnp.float32)
+    total = jnp.zeros((n, output_size, output_size, c), out_dtype)
+    boxes_f = flat_boxes.astype(jnp.float32)
 
     for li, (feat, stride) in enumerate(zip(features, strides)):
-        h, w = int(feat.shape[0]), int(feat.shape[1])
+        h, w = int(feat.shape[1]), int(feat.shape[2])
         scale = 1.0 / stride
         resident = h < CHUNK_Y or w < CHUNK_X
         out_shape = jax.ShapeDtypeStruct(
-            (p_n, output_size, output_size, c), out_dtype
+            (n, output_size, output_size, c), out_dtype
         )
         out_spec = pl.BlockSpec(
             (1, output_size, output_size, c), lambda i, *pref: (i, 0, 0, 0),
@@ -209,24 +217,29 @@ def roi_align_pallas(features, boxes, box_valid, strides, output_size=7,
             part = pl.pallas_call(
                 kern,
                 grid_spec=pltpu.PrefetchScalarGridSpec(
-                    num_scalar_prefetch=5,
-                    grid=(p_n,),
+                    num_scalar_prefetch=6,
+                    grid=(n,),
                     in_specs=[
-                        pl.BlockSpec((h, w, c), lambda i, *pref: (0, 0, 0),
-                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec(
+                            (1, h, w, c),
+                            lambda i, bi, *pref: (bi[i], 0, 0, 0),
+                            memory_space=pltpu.VMEM,
+                        ),
                     ],
                     out_specs=out_spec,
                 ),
                 out_shape=out_shape,
                 interpret=interpret,
-            )(lvl, boxes_f[:, 0], boxes_f[:, 1], boxes_f[:, 2],
+            )(b_idx, lvl, boxes_f[:, 0], boxes_f[:, 1], boxes_f[:, 2],
               boxes_f[:, 3], feat)
         else:
             # pad W up to a multiple of 8 so every chunk origin/extent is
             # sublane-aligned (no-op for standard padded image sizes)
             w_pad = (w + 7) // 8 * 8
             if w_pad != w:
-                feat = jnp.pad(feat, ((0, 0), (0, w_pad - w), (0, 0)))
+                feat = jnp.pad(
+                    feat, ((0, 0), (0, 0), (0, w_pad - w), (0, 0))
+                )
             # per-box window: rows/cols the sample lattice can touch
             x0s = boxes_f[:, 0] * scale - 0.5
             y0s = boxes_f[:, 1] * scale - 0.5
@@ -250,8 +263,8 @@ def roi_align_pallas(features, boxes, box_valid, strides, output_size=7,
             part = pl.pallas_call(
                 kern,
                 grid_spec=pltpu.PrefetchScalarGridSpec(
-                    num_scalar_prefetch=9,
-                    grid=(p_n,),
+                    num_scalar_prefetch=10,
+                    grid=(n,),
                     in_specs=[
                         pl.BlockSpec(memory_space=pl.ANY),
                     ],
@@ -267,23 +280,38 @@ def roi_align_pallas(features, boxes, box_valid, strides, output_size=7,
                 ),
                 out_shape=out_shape,
                 interpret=interpret,
-            )(lvl, y_lo, x_lo, nx, nc, boxes_f[:, 0], boxes_f[:, 1],
+            )(b_idx, lvl, y_lo, x_lo, nx, nc, boxes_f[:, 0], boxes_f[:, 1],
               boxes_f[:, 2], boxes_f[:, 3], feat)
         total = total + part
     return total
 
 
+def roi_align_pallas(features, boxes, box_valid, strides, output_size=7,
+                     sampling_ratio=2, interpret=False):
+    """Multi-level ROIAlign forward for ONE image.
+
+    features: per-level [H_l, W_l, C]; boxes [P, 4] xyxy; box_valid [P].
+    Returns [P, output_size, output_size, C] in the features' dtype.
+    """
+    p_n = boxes.shape[0]
+    return _roi_align_pallas_flat(
+        [f[None] for f in features], boxes, box_valid,
+        jnp.zeros((p_n,), jnp.int32), strides, output_size, sampling_ratio,
+        interpret=interpret,
+    )
+
+
 def roi_align_pallas_batched(features, boxes, box_valid, strides,
                              output_size=7, sampling_ratio=2,
                              interpret=False):
-    """Batch via a static python loop (small B; the kernels are not vmapped).
-    features per-level [B, H, W, C]; boxes [B, P, 4]; box_valid [B, P]."""
-    b = boxes.shape[0]
-    outs = [
-        roi_align_pallas(
-            [f[i] for f in features], boxes[i], box_valid[i], strides,
-            output_size, sampling_ratio, interpret=interpret,
-        )
-        for i in range(b)
-    ]
-    return jnp.stack(outs)
+    """Whole batch in ONE pallas_call chain per level: boxes flattened to
+    [B*P] with an image index in scalar prefetch. features per-level
+    [B, H, W, C]; boxes [B, P, 4]; box_valid [B, P]."""
+    b, p_n = boxes.shape[:2]
+    b_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p_n)
+    out = _roi_align_pallas_flat(
+        list(features), boxes.reshape(b * p_n, 4),
+        box_valid.reshape(b * p_n), b_idx, strides, output_size,
+        sampling_ratio, interpret=interpret,
+    )
+    return out.reshape(b, p_n, output_size, output_size, -1)

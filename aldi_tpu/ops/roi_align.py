@@ -385,12 +385,72 @@ def _pallas_fused_fwd(features, boxes, box_valid, strides, output_size,
 _roi_align_pallas_fused.defvjp(_pallas_fused_fwd, _fused_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _roi_align_pallas_fused_batched(features, boxes, box_valid, strides,
+                                    output_size, sampling_ratio, feat_meta):
+    """Batched Pallas forward (batch folded into the kernel grid) paired
+    with a vmapped corner-scatter backward (the op is linear in
+    features)."""
+    from .pallas_roi_align import roi_align_pallas_batched
+
+    return roi_align_pallas_batched(
+        features, boxes, box_valid, list(strides), output_size,
+        sampling_ratio,
+    )
+
+
+def _pallas_fused_batched_fwd(features, boxes, box_valid, strides,
+                              output_size, sampling_ratio, feat_meta):
+    out = _roi_align_pallas_fused_batched(
+        features, boxes, box_valid, strides, output_size, sampling_ratio,
+        feat_meta,
+    )
+    return out, (boxes, box_valid)
+
+
+def _pallas_fused_batched_bwd(strides, output_size, sampling_ratio,
+                              feat_meta, res, g):
+    boxes, box_valid = res
+
+    def one(g_i, b_i, v_i):
+        grads, gb, _ = _fused_bwd(
+            strides, output_size, sampling_ratio, feat_meta, (b_i, v_i), g_i
+        )
+        return grads, gb
+
+    grads, gb = jax.vmap(one)(g, boxes, box_valid)
+    return grads, gb, None
+
+
+_roi_align_pallas_fused_batched.defvjp(
+    _pallas_fused_batched_fwd, _pallas_fused_batched_bwd
+)
+
+
 def roi_align_batched(features, boxes, box_valid, strides, output_size=7,
                       sampling_ratio=2, mode="corner_gather"):
     """Batched ROIAlign: features per-level [B, H, W, C], boxes [B, P, 4],
     box_valid [B, P] -> [B, P, out, out, C]. XLA modes vmap over the batch;
-    pallas modes use a static python loop (the kernels are not vmapped)."""
+    pallas modes fold the batch into the kernel grid (one pallas_call per
+    level for the whole batch — compile time and HLO size no longer grow
+    with B)."""
     mode = resolve_pool_mode(mode)
+    if mode in ("pallas", "pallas_fused"):
+        from .pallas_roi_align import roi_align_pallas_batched
+
+        if mode == "pallas":  # no-grad paths (teacher / inference)
+            return roi_align_pallas_batched(
+                list(features), boxes, box_valid, list(strides),
+                output_size, sampling_ratio,
+            )
+        meta = tuple(
+            (tuple(int(d) for d in f.shape[1:]), jnp.dtype(f.dtype).name)
+            for f in features
+        )
+        return _roi_align_pallas_fused_batched(
+            list(features), boxes, box_valid, tuple(strides), output_size,
+            sampling_ratio, meta,
+        )
     fn = partial(
         roi_align,
         strides=strides,
@@ -398,12 +458,6 @@ def roi_align_batched(features, boxes, box_valid, strides, output_size=7,
         sampling_ratio=sampling_ratio,
         mode=mode,
     )
-    if mode in ("pallas", "pallas_fused"):
-        b = boxes.shape[0]
-        return jnp.stack([
-            fn([f[i] for f in features], boxes[i], box_valid[i])
-            for i in range(b)
-        ])
     return jax.vmap(lambda fs, b, v: fn(list(fs), b, v))(
         tuple(features), boxes, box_valid
     )

@@ -107,9 +107,8 @@ def _shrink_for_step(cfg):
         cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 32
         cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
     if cfg.MODEL.META_ARCHITECTURE == "DeformableDETR":
-        cfg.MODEL.DEFORMABLE_DETR.NUM_QUERIES = min(
-            cfg.MODEL.DEFORMABLE_DETR.NUM_QUERIES, 50
-        )
+        t = cfg.MODEL.DEFORMABLE_DETR.TRANSFORMER
+        t.NUM_QUERIES = min(t.NUM_QUERIES, 50)
     cfg.TEST.DETECTIONS_PER_IMAGE = 5
     return cfg
 
