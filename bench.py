@@ -117,6 +117,13 @@ def build_cfg(canvas, batch_per_chip, family="rcnn"):
     )
     if "BENCH_DTYPE" in os.environ:  # e.g. bfloat16 for the DETR trunk
         cfg.TPU.COMPUTE_DTYPE = os.environ["BENCH_DTYPE"]
+    if "BENCH_BACKWARD_AT_END" in os.environ:
+        # "0": stream-sequential backward (one stream's activations live at
+        # a time — the reference BACKWARD_AT_END=False memory recipe that
+        # lets ViTDet-B DAOD fit 16 GB at the full 1024x2048 canvas)
+        cfg.SOLVER.BACKWARD_AT_END = (
+            os.environ["BENCH_BACKWARD_AT_END"] != "0"
+        )
     return cfg
 
 
