@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from ..config import compute_dtype, resolve_canvas
 from ..ops import boxes as box_ops
+from ..ops.lapjv import lapjv
 from ..ops.losses import sigmoid_focal
 from ..ops.ms_deform_attn import ms_deform_attn_core
 from .resnet import ResNet
@@ -496,8 +497,22 @@ def hungarian_match(
     gamma: float = 2.0,
 ):
     """Per-image Hungarian assignment on padded cost matrices. Returns
-    (query_idx [B, G], pair_valid [B, G])."""
-    from optax import assignment
+    (query_idx [B, G], pair_valid [B, G]).
+
+    Solved with the vectorized JV solver (``ops/lapjv.py``) on the
+    TRANSPOSED problem (rows = gt), compacted so valid gts come first and
+    bounded to ``n_rows = gv.sum()``: padded gt slots are never solved at
+    all, so a MAX_GT=100 buffer with ~10 real boxes costs ~10 sequential
+    augmentations instead of 100 (optax's scalar-inner-loop Hungarian on
+    the full padded matrix measured 212-320 ms for the criterion's
+    [12, 300, 100] batch on v5e). Restricting the solve to valid rows
+    leaves their optimum unchanged — the padded rows are simply absent
+    from the restricted problem. Exactness vs scipy:
+    tests/test_ops_lapjv.py. Matching is non-differentiable (reference
+    runs scipy under no_grad, Deformable-DETR ``matcher.py``); inputs are
+    stop_gradient-ed."""
+    logits = jax.lax.stop_gradient(logits)
+    pred_boxes = jax.lax.stop_gradient(pred_boxes)
 
     def per_image(lg, pb, gb, gc, gv):
         prob = jax.nn.sigmoid(lg)  # [Q, K]
@@ -513,16 +528,71 @@ def hungarian_match(
             box_ops.cxcywh_to_xyxy(pb), box_ops.cxcywh_to_xyxy(gb)
         )
         cost = cost_class * c_cls + cost_bbox * c_l1 + cost_giou * c_giou
-        big = 1e6
-        cost = jnp.where(gv[None, :], cost, big)
-        cost = jnp.nan_to_num(cost, nan=big, posinf=big, neginf=-big)
-        qi, gi = assignment.hungarian_algorithm(cost)  # len G (G <= Q)
-        # qi[k] matched to gt gi[k]; invert to per-gt query index
-        q_for_gt = jnp.zeros(gb.shape[0], jnp.int32).at[gi].set(qi)
+        cost = jnp.clip(jnp.nan_to_num(cost), -1e4, 1e4)
+        order = jnp.argsort(~gv)  # stable: valid gts first
+        col4row = lapjv(cost.T[order], n_rows=gv.sum())
+        q_sorted = jnp.maximum(col4row, 0)  # -1 (unsolved pad) -> 0
+        q_for_gt = q_sorted[jnp.argsort(order)].astype(jnp.int32)
         return q_for_gt, gv
 
     return jax.vmap(per_image)(logits, pred_boxes, gt_boxes, gt_classes,
                                gt_valid)
+
+
+def detr_losses_all_layers(
+    logits, pred_boxes, gt_boxes_n, gt_classes, gt_valid,
+    num_classes, focal_alpha, num_boxes,
+):
+    """SetCriterion labels/boxes for ALL decoder layers at once.
+
+    logits [L, B, Q, K], pred_boxes [L, B, Q, 4]; gt_* are [B, ...].
+    Returns (loss_ce [L], loss_bbox [L], loss_giou [L]).
+
+    All L*B assignment problems run in ONE vmapped Hungarian call: the
+    LAPJV while_loop's cost on TPU is iteration-bound, not width-bound
+    (measured 79 ms at vmap width 2 vs 82 ms at width 12 on v5e), so
+    folding the per-layer loop into the batch axis is a ~L x criterion
+    speedup over the reference's per-aux-output matcher loop
+    (``detrex SetCriterion.forward`` / aldi DETR criterion)."""
+    L, b, q, k = logits.shape
+    G = gt_boxes_n.shape[1]
+    rep = lambda x: jnp.broadcast_to(
+        x[None], (L,) + x.shape
+    ).reshape((L * b,) + x.shape[1:])
+    q_idx, pair_valid = hungarian_match(
+        logits.reshape(L * b, q, k), pred_boxes.reshape(L * b, q, 4),
+        rep(gt_boxes_n), rep(gt_classes), rep(gt_valid),
+        focal_alpha=focal_alpha,
+    )  # [L*B, G] each
+    gt_classes_f = rep(gt_classes)
+    gt_boxes_f = rep(gt_boxes_n)
+
+    # classification: one-hot targets at matched queries, focal over all
+    tcls = jnp.zeros((L * b, q, k), jnp.float32)
+    onehot = jax.nn.one_hot(gt_classes_f, k) * pair_valid[..., None]
+    tcls = jax.vmap(lambda t, qi, oh: t.at[qi].add(oh))(tcls, q_idx, onehot)
+    tcls = jnp.clip(tcls, 0.0, 1.0)
+    fl = sigmoid_focal(
+        logits.reshape(L * b, q, k).astype(jnp.float32), tcls,
+        focal_alpha, 2.0,
+    )
+    nb = jnp.maximum(num_boxes, 1.0)
+    # SetCriterion.loss_labels: focal.mean(dim 1).sum() * Q / num_boxes
+    loss_ce = fl.reshape(L, b, q, k).mean(axis=2).sum(axis=(1, 2)) * q / nb
+
+    # box losses on matched pairs
+    pb = jax.vmap(lambda p, qi: p[qi])(
+        pred_boxes.reshape(L * b, q, 4), q_idx
+    )  # [L*B, G, 4]
+    vf = pair_valid.astype(jnp.float32).reshape(L, b, G)
+    l1 = jnp.abs(pb - gt_boxes_f).sum(-1).reshape(L, b, G)
+    loss_bbox = (l1 * vf).sum(axis=(1, 2)) / nb
+    giou = box_ops.pairwise_giou(
+        box_ops.cxcywh_to_xyxy(pb.reshape(-1, 1, 4)),
+        box_ops.cxcywh_to_xyxy(gt_boxes_f.reshape(-1, 1, 4)),
+    ).reshape(L, b, G)
+    loss_giou = ((1.0 - giou) * vf).sum(axis=(1, 2)) / nb
+    return loss_ce, loss_bbox, loss_giou
 
 
 def detr_losses_single_layer(
@@ -530,32 +600,11 @@ def detr_losses_single_layer(
     num_classes, focal_alpha, num_boxes,
 ):
     """One decoder layer's losses (SetCriterion labels/boxes)."""
-    q_idx, pair_valid = hungarian_match(
-        logits, pred_boxes, gt_boxes_n, gt_classes, gt_valid,
-        focal_alpha=focal_alpha,
+    ce, l1, giou = detr_losses_all_layers(
+        logits[None], pred_boxes[None], gt_boxes_n, gt_classes, gt_valid,
+        num_classes, focal_alpha, num_boxes,
     )
-    b, q, k = logits.shape
-
-    # classification: one-hot targets at matched queries, focal over all
-    tcls = jnp.zeros((b, q, k), jnp.float32)
-    onehot = jax.nn.one_hot(gt_classes, k) * pair_valid[..., None]
-    tcls = jax.vmap(lambda t, qi, oh: t.at[qi].add(oh))(tcls, q_idx, onehot)
-    tcls = jnp.clip(tcls, 0.0, 1.0)
-    fl = sigmoid_focal(logits.astype(jnp.float32), tcls, focal_alpha, 2.0)
-    # SetCriterion.loss_labels: focal.mean(dim 1).sum() * Q / num_boxes
-    loss_ce = fl.mean(axis=1).sum() * q / jnp.maximum(num_boxes, 1.0)
-
-    # box losses on matched pairs
-    pb = jax.vmap(lambda p, qi: p[qi])(pred_boxes, q_idx)  # [B, G, 4]
-    vf = pair_valid.astype(jnp.float32)
-    l1 = jnp.abs(pb - gt_boxes_n).sum(-1)
-    loss_bbox = (l1 * vf).sum() / jnp.maximum(num_boxes, 1.0)
-    giou = box_ops.pairwise_giou(
-        box_ops.cxcywh_to_xyxy(pb.reshape(-1, 1, 4)),
-        box_ops.cxcywh_to_xyxy(gt_boxes_n.reshape(-1, 1, 4)),
-    ).reshape(pb.shape[:2])
-    loss_giou = ((1.0 - giou) * vf).sum() / jnp.maximum(num_boxes, 1.0)
-    return loss_ce, loss_bbox, loss_giou
+    return ce[0], l1[0], giou[0]
 
 
 class DETRDetector:
@@ -631,17 +680,18 @@ class DETRDetector:
         num_boxes = jnp.maximum(gt.valid.sum().astype(jnp.float32), 1.0)
         losses = {}
         n_layers = out["logits"].shape[0]
-        for i in range(n_layers):
-            if i < n_layers - 1 and not self.aux_loss:
-                continue
-            ce, l1, giou = detr_losses_single_layer(
-                out["logits"][i], out["boxes"][i], gt_n, gt.classes,
-                gt.valid, self.num_classes, self.focal_alpha, num_boxes,
-            )
+        lg = out["logits"] if self.aux_loss else out["logits"][-1:]
+        bx = out["boxes"] if self.aux_loss else out["boxes"][-1:]
+        ce, l1, giou = detr_losses_all_layers(
+            lg, bx, gt_n, gt.classes, gt.valid,
+            self.num_classes, self.focal_alpha, num_boxes,
+        )
+        for j in range(lg.shape[0]):
+            i = j if self.aux_loss else n_layers - 1
             suffix = "" if i == n_layers - 1 else f"_{i}"
-            losses[f"loss_ce{suffix}"] = self.coef["ce"] * ce
-            losses[f"loss_bbox{suffix}"] = self.coef["bbox"] * l1
-            losses[f"loss_giou{suffix}"] = self.coef["giou"] * giou
+            losses[f"loss_ce{suffix}"] = self.coef["ce"] * ce[j]
+            losses[f"loss_bbox{suffix}"] = self.coef["bbox"] * l1[j]
+            losses[f"loss_giou{suffix}"] = self.coef["giou"] * giou[j]
         if self.two_stage and "enc_logits" in out:
             # first-stage proposals are class-agnostic: all gt classes
             # become 0 for the encoder-output loss (official SetCriterion

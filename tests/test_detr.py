@@ -130,6 +130,73 @@ def test_hungarian_match_prefers_right_queries():
     np.testing.assert_array_equal(np.asarray(q_idx[0]), [2, 0])
 
 
+def test_hungarian_match_optimal_vs_scipy():
+    """hungarian_match's assignment on padded inputs == scipy optimum on
+    the valid sub-problem (totals; assignments may differ only on ties)."""
+    from scipy.optimize import linear_sum_assignment
+
+    from aldi_tpu.models.detr import hungarian_match
+    from aldi_tpu.ops import boxes as box_ops
+
+    rng = np.random.default_rng(7)
+    Q, G, K = 40, 16, 5
+    for _ in range(5):
+        V = int(rng.integers(1, 14))
+        logits = rng.normal(size=(1, Q, K)).astype(np.float32)
+        pb = rng.uniform(0.1, 0.8, (1, Q, 4)).astype(np.float32)
+        gb = rng.uniform(0.2, 0.7, (1, G, 4)).astype(np.float32)
+        gc = rng.integers(0, K, (1, G)).astype(np.int32)
+        gv = np.zeros((1, G), bool)
+        gv[:, :V] = True
+        q_idx, pv = hungarian_match(
+            jnp.asarray(logits), jnp.asarray(pb), jnp.asarray(gb),
+            jnp.asarray(gc), jnp.asarray(gv),
+        )
+        q_idx = np.asarray(q_idx[0])
+
+        # rebuild the cost matrix with the same math (f32, matching
+        # hungarian_match's formula) and score both assignments on it
+        prob = 1.0 / (1.0 + np.exp(-logits[0]))
+        neg = 0.75 * prob ** 2 * (-np.log(np.clip(1 - prob, 1e-8, None)))
+        pos = 0.25 * (1 - prob) ** 2 * (-np.log(np.clip(prob, 1e-8, None)))
+        c_cls = (pos - neg)[:, gc[0]]
+        c_l1 = np.abs(pb[0][:, None, :] - gb[0][None, :, :]).sum(-1)
+        c_giou = -np.asarray(box_ops.pairwise_giou(
+            box_ops.cxcywh_to_xyxy(jnp.asarray(pb[0])),
+            box_ops.cxcywh_to_xyxy(jnp.asarray(gb[0])),
+        ))
+        cost = 2.0 * c_cls + 5.0 * c_l1 + 2.0 * c_giou
+        got = sum(cost[q_idx[g], g] for g in range(V))
+        assert len({int(q_idx[g]) for g in range(V)}) == V  # distinct
+        r, c = linear_sum_assignment(cost[:, :V])
+        np.testing.assert_allclose(got, cost[r, c].sum(), rtol=1e-4)
+
+
+def test_detr_losses_all_layers_matches_per_layer_loop():
+    """Vectorized all-layer criterion == per-layer calls (same math)."""
+    from aldi_tpu.models.detr import (
+        detr_losses_all_layers, detr_losses_single_layer,
+    )
+
+    rng = np.random.default_rng(3)
+    L, B, Q, K, G = 3, 2, 20, 5, 8
+    logits = jnp.asarray(rng.normal(size=(L, B, Q, K)).astype(np.float32))
+    pboxes = jnp.asarray(rng.uniform(0.2, 0.6, (L, B, Q, 4)).astype(
+        np.float32))
+    gt = jnp.asarray(rng.uniform(0.25, 0.55, (B, G, 4)).astype(np.float32))
+    classes = jnp.asarray(rng.integers(0, K, (B, G)).astype(np.int32))
+    valid = jnp.asarray(np.tile(np.arange(G) < 5, (B, 1)))
+    nb = jnp.asarray(10.0, jnp.float32)
+    ce_v, l1_v, gi_v = detr_losses_all_layers(
+        logits, pboxes, gt, classes, valid, K, 0.25, nb)
+    for i in range(L):
+        ce, l1, gi = detr_losses_single_layer(
+            logits[i], pboxes[i], gt, classes, valid, K, 0.25, nb)
+        np.testing.assert_allclose(float(ce_v[i]), float(ce), rtol=1e-5)
+        np.testing.assert_allclose(float(l1_v[i]), float(l1), rtol=1e-5)
+        np.testing.assert_allclose(float(gi_v[i]), float(gi), rtol=1e-5)
+
+
 def test_detr_forward_train_and_inference():
     cfg = detr_cfg()
     cfg.freeze()

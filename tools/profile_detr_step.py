@@ -100,7 +100,7 @@ def main():
         valid=jnp.asarray(valid), scores=None,
     )
 
-    from aldi_tpu.models.detr import detr_losses_single_layer
+    from aldi_tpu.models.detr import detr_losses_all_layers
 
     logits = jnp.asarray(out["logits"])
     pboxes = jnp.asarray(out["boxes"])
@@ -109,14 +109,11 @@ def main():
     def criterion(logits, pboxes, gt):
         gt_n = det._normalize_gt(gt, sizes)
         num_boxes = jnp.maximum(gt.valid.sum().astype(jnp.float32), 1.0)
-        tot = 0.0
-        for i in range(logits.shape[0]):
-            ce, l1, giou = detr_losses_single_layer(
-                logits[i], pboxes[i], gt_n, gt.classes, gt.valid,
-                det.num_classes, det.focal_alpha, num_boxes,
-            )
-            tot = tot + ce + l1 + giou
-        return tot
+        ce, l1, giou = detr_losses_all_layers(
+            logits, pboxes, gt_n, gt.classes, gt.valid,
+            det.num_classes, det.focal_alpha, num_boxes,
+        )
+        return ce.sum() + l1.sum() + giou.sum()
 
     rows["criterion"] = timed(
         lambda lg, pb: criterion(lg, pb, gt),
