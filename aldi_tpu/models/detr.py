@@ -511,8 +511,8 @@ def hungarian_match(
     tests/test_ops_lapjv.py. Matching is non-differentiable (reference
     runs scipy under no_grad, Deformable-DETR ``matcher.py``); inputs are
     stop_gradient-ed."""
-    logits = jax.lax.stop_gradient(logits)
-    pred_boxes = jax.lax.stop_gradient(pred_boxes)
+    logits = jax.lax.stop_gradient(logits).astype(jnp.float32)
+    pred_boxes = jax.lax.stop_gradient(pred_boxes).astype(jnp.float32)
 
     def per_image(lg, pb, gb, gc, gv):
         prob = jax.nn.sigmoid(lg)  # [Q, K]

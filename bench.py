@@ -85,10 +85,12 @@ def build_cfg(canvas, batch_per_chip, family="rcnn"):
     else:
         raise ValueError(f"unknown BENCH_FAMILY {family}")
 
-    # bf16 compute everywhere except DETR (reference disables AMP there;
-    # our MSDeformAttn is bf16-safe but f32 keeps the Hungarian matcher
-    # numerics reference-equivalent)
-    cfg.SOLVER.AMP.ENABLED = family != "detr"
+    # bf16 compute everywhere, DETR included: the reference disables AMP
+    # for DETR only because its CUDA MSDeformAttn extension is f32-only
+    # (reference README.md:69-74); ours is bf16-safe, and the Hungarian
+    # matcher cost math is pinned to f32 inside hungarian_match
+    # regardless of trunk dtype.
+    cfg.SOLVER.AMP.ENABLED = True
     cfg.SOLVER.IMS_PER_BATCH = batch_per_chip * 2
     cfg.DATASETS.BATCH_CONTENTS = ("labeled_strong", "unlabeled_strong")
     cfg.DATASETS.BATCH_RATIOS = (1, 1)
