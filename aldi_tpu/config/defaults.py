@@ -154,6 +154,10 @@ def get_default_cfg() -> CN:
     _C.MODEL.DEFORMABLE_DETR.POSITION_EMBEDDING_SCALE = 6.283185307179586
     _C.MODEL.DEFORMABLE_DETR.TWO_STAGE = False
     _C.MODEL.DEFORMABLE_DETR.WITH_BOX_REFINE = False
+    # layer-level remat for the transformer (off: the inner checkpoint in
+    # ms_deform_attn_core already bounds the gather temporaries; enable for
+    # canvases far beyond 640^2 where Lq-scaled residuals stop fitting HBM)
+    _C.MODEL.DEFORMABLE_DETR.USE_ACT_CHECKPOINT = False
     _C.MODEL.DEFORMABLE_DETR.TRANSFORMER = CN()
     _C.MODEL.DEFORMABLE_DETR.TRANSFORMER.ENC_LAYERS = 6
     _C.MODEL.DEFORMABLE_DETR.TRANSFORMER.DEC_LAYERS = 6

@@ -258,6 +258,7 @@ class DeformableDETR(nn.Module):
     pos_scale: float = 2 * math.pi
     with_box_refine: bool = False
     two_stage: bool = False
+    use_act_checkpoint: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -339,11 +340,17 @@ class DeformableDETR(nn.Module):
         # scale into each level's valid region: [B, Lv, L, 2]
         enc_ref = enc_ref[:, :, None, :] * valid_ratios[:, None, :, :]
 
-        # remat each layer: without it the 6-layer encoder retains every
-        # deformable-sampling intermediate for backward (~10s of GB at
-        # Lq~8500); with it, backward recomputes one layer at a time
-        # (spatial_shapes and train are static python args)
-        enc_layer = nn.remat(EncoderLayer, static_argnums=(4, 6))
+        # The big deformable-sampling temporaries are already discarded by
+        # the @jax.checkpoint inside ms_deform_attn_core, so what a layer
+        # retains is modest (~200 MB at Lq~8500 B=2: quad tables, sampling
+        # locs, FFN hidden). Layer-level remat on TOP of that made the
+        # gathers run 3x per step (fwd + layer recompute + inner recompute)
+        # and cost ~15% step time at 640^2 — so it is opt-in
+        # (MODEL.DEFORMABLE_DETR.USE_ACT_CHECKPOINT) for very large
+        # canvases where Lq grows with area.
+        enc_layer = EncoderLayer
+        if self.use_act_checkpoint:
+            enc_layer = nn.remat(EncoderLayer, static_argnums=(4, 6))
         memory = src
         for i in range(self.enc_layers):
             memory = enc_layer(
@@ -444,7 +451,9 @@ class DeformableDETR(nn.Module):
                 )
             )  # [B, Q, 2]
 
-        dec_layer = nn.remat(DecoderLayer, static_argnums=(5, 7))
+        dec_layer = DecoderLayer
+        if self.use_act_checkpoint:
+            dec_layer = nn.remat(DecoderLayer, static_argnums=(5, 7))
         logits_per_layer, boxes_per_layer = [], []
         for i in range(self.dec_layers):
             if ref.shape[-1] == 4:
@@ -637,6 +646,7 @@ class DETRDetector:
             # configs leave both off; implemented for reference parity)
             with_box_refine=dd.WITH_BOX_REFINE,
             two_stage=dd.TWO_STAGE,
+            use_act_checkpoint=dd.USE_ACT_CHECKPOINT,
             dtype=self.dtype,
         )
         self.two_stage = dd.TWO_STAGE

@@ -119,6 +119,15 @@ def main():
     }
     print(json.dumps(result))
 
+    # merge the backward decomposition into the committed profile artifact
+    prof_path = os.path.join(ROOT, "DETR_PROFILE.json")
+    if os.path.exists(prof_path):
+        with open(prof_path) as f:
+            prof = json.load(f)
+        prof["bwd_decomposition"] = result
+        with open(prof_path, "w") as f:
+            json.dump(prof, f, indent=1)
+
 
 if __name__ == "__main__":
     main()
