@@ -331,9 +331,11 @@ def main():
     # the assumed 5.0 img/s/chip yardstick is an R50-FPN figure; the
     # reference publishes no per-family throughput, so comparing ViTDet/
     # DETR rows against it would be misleading — those report null
+    bwd = "" if cfg.SOLVER.BACKWARD_AT_END else ", stream-seq bwd"
     result = {
         "metric": f"aldi++ daod train images/sec/chip ({names[family]}, "
-        f"{canvas[0]}x{canvas[1]}, {dt_name}, {platform})",
+        f"{canvas[0]}x{canvas[1]}, {dt_name}, batch {bpc}+{bpc}{bwd}, "
+        f"{platform})",
         "value": round(img_per_s_per_chip, 3),
         "unit": "img/s/chip",
         "vs_baseline": round(

@@ -50,6 +50,18 @@ def main():
         except (json.JSONDecodeError, OSError):
             old = []
 
+    # per-family extra rows beyond the default recipe: ViTDet at the full
+    # 1024x2048 benchmark canvas fits HBM only via the stream-sequential
+    # backward (SOLVER.BACKWARD_AT_END=False), where batch 2+2 beats the
+    # monolithic-backward batch-1 recipe by ~27%
+    extra_rows = {
+        "vitdet": [("train@1024x2048", "train", {
+            "BENCH_CANVAS": "1024x2048",
+            "BENCH_BATCH_PER_CHIP": "2",
+            "BENCH_BACKWARD_AT_END": "0",
+        })],
+    }
+
     rows = []
     for fam in args.families.split(","):
         fam = fam.strip()
@@ -58,6 +70,10 @@ def main():
         print(f"== {fam} train step ==", flush=True)
         rows.append({"tag": f"{fam}/train", **run_row(fam, "train")})
         print(json.dumps(rows[-1]), flush=True)
+        for suffix, mode, env in extra_rows.get(fam, []):
+            print(f"== {fam} {suffix} ==", flush=True)
+            rows.append({"tag": f"{fam}/{suffix}", **run_row(fam, mode, env)})
+            print(json.dumps(rows[-1]), flush=True)
     if args.teacher:
         print("== teacher latency (flagship) ==", flush=True)
         rows.append({"tag": "rcnn/teacher", **run_row("rcnn", "teacher")})
