@@ -114,6 +114,65 @@ def test_ms_deform_attn_matches_numpy_bilinear_oracle():
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
 
 
+def test_ms_deform_attn_gradients_match_naive_reference():
+    """Backward parity for the lane-flat MXU formulation: grads wrt value,
+    sampling locations, and attention weights against jax.grad of a naive
+    differentiable per-corner transcription (same zero-pad semantics)."""
+    from aldi_tpu.ops.ms_deform_attn import ms_deform_attn_core
+
+    rng = np.random.default_rng(7)
+    b, h, d, P = 2, 2, 4, 2
+    shapes = [(5, 7), (3, 4)]
+    L = len(shapes)
+    lv = sum(a * c for a, c in shapes)
+    lq = 9
+    value = jnp.asarray(rng.normal(size=(b, lv, h, d)).astype(np.float32))
+    # keep locations off exact cell boundaries (grad wrt loc is piecewise)
+    loc = jnp.asarray(
+        (rng.random((b, lq, h, L, P, 2)) * 1.2 - 0.1).astype(np.float32))
+    attn = jnp.asarray(rng.random((b, lq, h, L, P)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(b, lq, h * d)).astype(np.float32))
+
+    def naive(value, loc, attn):
+        starts = np.cumsum([0] + [a * c for a, c in shapes])[:-1]
+        out = jnp.zeros((b, lq, h, d), jnp.float32)
+        for li, (hh, ww) in enumerate(shapes):
+            grid = value[:, starts[li]:starts[li] + hh * ww].reshape(
+                b, hh, ww, h, d)
+            x = loc[:, :, :, li, :, 0] * ww - 0.5  # [B, Lq, H, P]
+            y = loc[:, :, :, li, :, 1] * hh - 0.5
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            lx, ly = x - x0, y - y0
+            for dy, dx, cw in (
+                (0, 0, (1 - ly) * (1 - lx)), (0, 1, (1 - ly) * lx),
+                (1, 0, ly * (1 - lx)), (1, 1, ly * lx),
+            ):
+                yy = y0.astype(jnp.int32) + dy
+                xx = x0.astype(jnp.int32) + dx
+                inside = ((yy >= 0) & (yy < hh) & (xx >= 0) & (xx < ww))
+                yc = jnp.clip(yy, 0, hh - 1)
+                xc = jnp.clip(xx, 0, ww - 1)
+                bi = jnp.arange(b)[:, None, None, None]
+                hi = jnp.arange(h)[None, None, :, None]
+                g = grid[bi, yc, xc, hi]  # [B, Lq, H, P, D]
+                term = (cw * attn[:, :, :, li] * inside)[..., None] * g
+                out = out + term.sum(axis=3)
+        return out.reshape(b, lq, h * d)
+
+    def loss(fn):
+        return lambda v, lo, a: jnp.vdot(fn(v, lo, a), cot)
+
+    got = jax.grad(
+        loss(lambda v, lo, a: ms_deform_attn_core(v, shapes, lo, a)),
+        argnums=(0, 1, 2))(value, loc, attn)
+    want = jax.grad(loss(naive), argnums=(0, 1, 2))(value, loc, attn)
+    for g, w, name in zip(got, want, ("value", "loc", "attn")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=2e-4, atol=2e-4,
+            err_msg=f"grad wrt {name}")
+
+
 def test_hungarian_match_prefers_right_queries():
     from aldi_tpu.models.detr import hungarian_match
 
