@@ -325,6 +325,16 @@ def _convert_array(
     t = _to_numpy(torch_arr)
     leaf = flax_path[-1]
     target = np.asarray(target)
+    if leaf == "pos_embed" and t.ndim == 3 and target.ndim == 4:
+        # D2/MAE ViT checkpoints store [1, tokens(+cls), D]; the flax param
+        # is the grid [1, p, p, D] (class token never used downstream,
+        # substrate get_abs_pos strips it the same way)
+        p = target.shape[1] * target.shape[2]
+        if t.shape[1] == p + 1:
+            t = t[:, 1:]
+        if t.shape[1] == p:
+            t = t.reshape(target.shape)
+        return t
     if tag in ("mha_q", "mha_k", "mha_v"):
         # torch packed in_proj [3D, D] / [3D]; flax [D, h, hd] / [h, hd]
         d = t.shape[0] // 3

@@ -11,7 +11,9 @@ images/sec/chip as ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Per-family rows (VERDICT round-1 item 7): set ``BENCH_FAMILY`` to one of
 rcnn (default) / vitdet / convnext / yolo / detr to bench that family's DAOD
 step instead, and ``BENCH_MODE=teacher`` to time only the teacher
-pseudo-label inference pass (the "teacher step latency" figure).
+pseudo-label inference pass (the "teacher step latency" figure);
+``BENCH_MODE=infer`` times the serving path (student forward + NMS
+postprocess at TEST settings).
 ``tools/bench_all.py`` sweeps these and writes BENCH_FAMILIES.json.
 
 Baseline context (BASELINE.md): the reference trains ALDI++ on 8x V100 with
@@ -287,6 +289,42 @@ def main():
             f"{canvas[0]}x{canvas[1]}, batch {bpc * n_chips}, {platform})",
             "value": round(dt * 1000, 2),
             "unit": "ms",
+            "vs_baseline": None,
+        }
+        print(json.dumps(result))
+        return
+
+    if mode == "infer":
+        # serving path: student forward + per-image postprocess (score
+        # threshold, class-aware NMS, top-k) at TEST settings — the flow
+        # tools/train_net.py --eval-only drives per batch
+        @jax.jit
+        def infer_fn(state, images, sizes):
+            svars = {"params": state.params, "frozen": state.frozen,
+                     **(state.model_state or {})}
+            return det.forward_inference(svars, images, sizes)
+
+        lw = batch["labeled"]
+        out = None
+        for i in range(3):
+            # vary inputs: the tunnel runtime dedups repeated identical
+            # computations and would report nonsense otherwise
+            out = infer_fn(state, lw["image"].at[0, 0, 0, 0].set(float(i)),
+                           lw["sizes"])
+        jax.block_until_ready(out)
+        iters = int(os.environ.get("BENCH_ITERS", "10"))
+        t0 = time.time()
+        for i in range(iters):
+            out = infer_fn(
+                state, lw["image"].at[0, 0, 0, 0].set(float(100 + i)),
+                lw["sizes"])
+            jax.block_until_ready(out)
+        dt = (time.time() - t0) / iters
+        result = {
+            "metric": f"inference images/sec/chip ({family}, "
+            f"{canvas[0]}x{canvas[1]}, batch {bpc * n_chips}, {platform})",
+            "value": round(bpc * n_chips / dt / n_chips, 3),
+            "unit": "img/s/chip",
             "vs_baseline": None,
         }
         print(json.dumps(result))

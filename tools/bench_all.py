@@ -78,6 +78,9 @@ def main():
         print("== teacher latency (flagship) ==", flush=True)
         rows.append({"tag": "rcnn/teacher", **run_row("rcnn", "teacher")})
         print(json.dumps(rows[-1]), flush=True)
+    print("== inference throughput (flagship serving path) ==", flush=True)
+    rows.append({"tag": "rcnn/infer", **run_row("rcnn", "infer")})
+    print(json.dumps(rows[-1]), flush=True)
     print("== host loader throughput ==", flush=True)
     rows.append({
         "tag": "host/loader",
