@@ -187,7 +187,7 @@ def randomize(root, seed=0):
             p.copy_(torch.rand(p.shape, generator=g) + 0.5)
         elif name.endswith("running_mean"):
             p.copy_(rnd(p.shape) * 0.1)
-        elif name.endswith("norm.weight"):
+        elif name.endswith(("norm.weight", "bn.weight")):
             p.copy_(1.0 + 0.1 * rnd(p.shape))
         elif p.ndim >= 2:
             fan_in = p[0].numel()
