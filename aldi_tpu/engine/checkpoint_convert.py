@@ -268,9 +268,11 @@ def _detr_name_for(path: Tuple[str, ...], collection: str):
     if top.startswith("class_embed"):
         suffix = top[len("class_embed"):]
         if suffix == "_enc":
-            # two-stage encoder head: torch list index dec_layers (6 in
-            # every shipped depth)
-            return [f"class_embed.6.{lm[leaf]}"], None
+            # two-stage encoder head: torch list index dec_layers. Candidates
+            # descend so the HIGHEST index present wins — per-layer heads
+            # occupy 0..dec_layers-1, so the max index is always the enc head
+            return [f"class_embed.{i}.{lm[leaf]}"
+                    for i in range(6, 0, -1)], None
         if suffix:  # per-layer head under WITH_BOX_REFINE
             return [f"class_embed.{int(suffix)}.{lm[leaf]}"], None
         return [f"class_embed.0.{lm[leaf]}", f"class_embed.{lm[leaf]}"], None
@@ -278,7 +280,8 @@ def _detr_name_for(path: Tuple[str, ...], collection: str):
         suffix = top[len("bbox_embed"):]
         i = int(parts[1][1:])  # l{i}
         if suffix == "_enc":
-            return [f"bbox_embed.6.layers.{i}.{lm[leaf]}"], None
+            return [f"bbox_embed.{j}.layers.{i}.{lm[leaf]}"
+                    for j in range(6, 0, -1)], None
         if suffix:
             return [f"bbox_embed.{int(suffix)}.layers.{i}.{lm[leaf]}"], None
         return [f"bbox_embed.0.layers.{i}.{lm[leaf]}",

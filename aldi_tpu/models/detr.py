@@ -125,7 +125,7 @@ class FFN(nn.Module):
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         y = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
-        return nn.LayerNorm(dtype=jnp.float32, name="norm")(x + y).astype(
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x + y).astype(
             self.dtype
         )
 
@@ -148,7 +148,7 @@ class EncoderLayer(nn.Module):
             dtype=self.dtype, name="self_attn",
         )(q, reference_points, src, spatial_shapes, mask)
         attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-        src = nn.LayerNorm(dtype=jnp.float32, name="norm1")(
+        src = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(
             src + attn
         ).astype(self.dtype)
         return FFN(self.d_model, self.d_ff, self.dropout, self.dtype,
@@ -173,7 +173,7 @@ class DecoderLayer(nn.Module):
             num_heads=self.n_heads, dtype=self.dtype, name="self_attn"
         )(q, q, tgt)
         sa = nn.Dropout(self.dropout, deterministic=not train)(sa)
-        tgt = nn.LayerNorm(dtype=jnp.float32, name="norm2")(tgt + sa).astype(
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(tgt + sa).astype(
             self.dtype
         )
         # cross attention into the memory
@@ -182,7 +182,7 @@ class DecoderLayer(nn.Module):
             dtype=self.dtype, name="cross_attn",
         )(tgt + query_pos, reference_points, memory, spatial_shapes, mask)
         ca = nn.Dropout(self.dropout, deterministic=not train)(ca)
-        tgt = nn.LayerNorm(dtype=jnp.float32, name="norm1")(tgt + ca).astype(
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(tgt + ca).astype(
             self.dtype
         )
         return FFN(self.d_model, self.d_ff, self.dropout, self.dtype,
@@ -272,21 +272,27 @@ class DeformableDETR(nn.Module):
         the step decomposition (tools/profile_detr_step.py); training always
         uses "full"."""
         b = images.shape[0]
+        # torchvision bottleneck semantics (stride on the 3x3 conv, NOT the
+        # caffe/D2 stride-in-1x1): the official Deformable-DETR backbone is
+        # torchvision resnet50 wrapped in FrozenBN, and its checkpoints /
+        # the torchvision ImageNet init (Base-DETR.yaml:4-5) compute a
+        # different function if the stride sits on the 1x1
         feats = ResNet(
             depth=50, out_features=("res3", "res4", "res5"),
-            freeze_at=self.freeze_at, dtype=self.dtype, name="backbone",
+            freeze_at=self.freeze_at, stride_in_1x1=False,
+            dtype=self.dtype, name="backbone",
         )(images)
         srcs = []
         for i, k in enumerate(["res3", "res4", "res5"]):
             x = nn.Conv(self.d_model, (1, 1), dtype=self.dtype,
                         name=f"input_proj{i}")(feats[k])
-            x = nn.GroupNorm(32, dtype=jnp.float32,
+            x = nn.GroupNorm(32, epsilon=1e-5, dtype=jnp.float32,
                              name=f"input_proj{i}_norm")(x).astype(self.dtype)
             srcs.append(x)
         # extra stride-64 level from res5
         x = nn.Conv(self.d_model, (3, 3), (2, 2), padding=[(1, 1), (1, 1)],
                     dtype=self.dtype, name="input_proj3")(feats["res5"])
-        x = nn.GroupNorm(32, dtype=jnp.float32,
+        x = nn.GroupNorm(32, epsilon=1e-5, dtype=jnp.float32,
                          name="input_proj3_norm")(x).astype(self.dtype)
         srcs.append(x)
 
@@ -329,14 +335,20 @@ class DeformableDETR(nn.Module):
         if stage == "backbone":
             return {"src": src}
 
-        # encoder reference points: normalized level grids x valid ratios
+        # encoder reference points: normalized level grids x valid ratios.
+        # A token's own coordinate is normalized by its OWN level's valid
+        # extent (grid / (H * vr_l)) so [0, 1] spans the valid region, then
+        # scaled into each target level's valid region (official
+        # get_reference_points semantics — the two normalizations only
+        # cancel when the batch has no padding).
         ref_list = []
-        for (hh, ww) in spatial_shapes:
+        for lvl, (hh, ww) in enumerate(spatial_shapes):
             ry = (jnp.arange(hh, dtype=jnp.float32) + 0.5) / hh
             rx = (jnp.arange(ww, dtype=jnp.float32) + 0.5) / ww
             gy, gx = jnp.meshgrid(ry, rx, indexing="ij")
-            ref_list.append(jnp.stack([gx, gy], -1).reshape(-1, 2))
-        enc_ref = jnp.concatenate(ref_list, 0)[None]  # [1, Lv, 2]
+            grid = jnp.stack([gx, gy], -1).reshape(-1, 2)  # [hw, 2]
+            ref_list.append(grid[None] / valid_ratios[:, lvl][:, None, :])
+        enc_ref = jnp.concatenate(ref_list, 1)  # [B, Lv, 2]
         # scale into each level's valid region: [B, Lv, L, 2]
         enc_ref = enc_ref[:, :, None, :] * valid_ratios[:, None, :, :]
 
@@ -376,9 +388,14 @@ class DeformableDETR(nn.Module):
 
         if self.with_box_refine:
             heads = [make_heads(str(i)) for i in range(self.dec_layers)]
+            enc_heads = make_heads("_enc") if self.two_stage else None
         else:
             shared = make_heads("")
             heads = [shared] * self.dec_layers
+            # official layout: without box refine the head list holds the
+            # SAME module at every index, so the two-stage encoder head
+            # (list index dec_layers) is the shared decoder head too
+            enc_heads = shared if self.two_stage else None
 
         out_extra = {}
         if self.two_stage:
@@ -406,14 +423,16 @@ class DeformableDETR(nn.Module):
             om = jnp.where(prop_ok[..., None], memory, 0.0)
             om = nn.Dense(self.d_model, dtype=self.dtype,
                           name="enc_output")(om)
-            om = nn.LayerNorm(dtype=jnp.float32, name="enc_output_norm")(
+            om = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="enc_output_norm")(
                 om
             ).astype(self.dtype)
-            enc_cls_head, enc_box_head = make_heads("_enc")
+            enc_cls_head, enc_box_head = enc_heads
+            # official semantics: logits are NOT masked at invalid
+            # positions — the zeroed memory rows give them one shared
+            # bias-driven constant score, and top-k runs over the raw
+            # scores (gen_encoder_output_proposals + topk in the official
+            # DeformableTransformer.forward)
             enc_logits = enc_cls_head(om).astype(jnp.float32)  # [B, Lv, K]
-            enc_logits = jnp.where(
-                prop_ok[..., None], enc_logits, -1e4
-            )
             enc_coords_unact = (
                 enc_box_head(om).astype(jnp.float32) + prop_unact
             )
@@ -433,7 +452,7 @@ class DeformableDETR(nn.Module):
                                     scale=self.pos_scale)
             pt = nn.Dense(2 * self.d_model, dtype=self.dtype,
                           name="pos_trans")(pe.astype(self.dtype))
-            pt = nn.LayerNorm(dtype=jnp.float32, name="pos_trans_norm")(
+            pt = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="pos_trans_norm")(
                 pt
             ).astype(self.dtype)
             query_pos, tgt = jnp.split(pt, 2, axis=-1)

@@ -107,6 +107,7 @@ class RCNN(nn.Module):
     backbone_name: str = "build_resnet_fpn_backbone"
     depth: int = 50
     freeze_at: int = 2
+    stride_in_1x1: bool = True
     convnext_depths: Sequence[int] = (3, 3, 9, 3)
     convnext_dims: Sequence[int] = (96, 192, 384, 768)
     convnext_drop_path: float = 0.2
@@ -129,7 +130,8 @@ class RCNN(nn.Module):
         name = self.backbone_name
         if name == "build_resnet_fpn_backbone":
             self.bottom_up = ResNet(
-                depth=self.depth, freeze_at=self.freeze_at, dtype=self.dtype,
+                depth=self.depth, freeze_at=self.freeze_at,
+                stride_in_1x1=self.stride_in_1x1, dtype=self.dtype,
                 name="backbone",
             )
             self.fpn = FPN(out_channels=self.fpn_out_channels, dtype=self.dtype)
@@ -270,6 +272,7 @@ class RCNNDetector:
             backbone_name=cfg.MODEL.BACKBONE.NAME,
             depth=cfg.MODEL.RESNETS.DEPTH,
             freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
+            stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
             convnext_depths=tuple(cfg.MODEL.CONVNEXT.DEPTHS),
             convnext_dims=tuple(cfg.MODEL.CONVNEXT.DIMS),
             convnext_drop_path=cfg.MODEL.CONVNEXT.DROP_PATH_RATE,
