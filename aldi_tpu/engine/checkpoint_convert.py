@@ -260,6 +260,10 @@ def _detr_name_for(path: Tuple[str, ...], collection: str):
         return [f"input_proj.{i}.{slot}.{lm[leaf]}"], None
     if top == "level_embed":
         return ["transformer.level_embed"], None
+    if top in ("row_embed", "col_embed"):
+        # learned position embedding: Joiner index 1 (backbone.0 is the
+        # body, backbone.1 the position embedding module)
+        return [f"backbone.1.{top}.weight"], None
     if top == "query_embed":
         return ["query_embed.weight"], None
     if top == "reference_points":

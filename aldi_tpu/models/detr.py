@@ -256,6 +256,16 @@ class DeformableDETR(nn.Module):
     dropout: float = 0.1
     freeze_at: int = 2
     pos_scale: float = 2 * math.pi
+    # MODEL.DEFORMABLE_DETR.DILATION (reference configs/Base-DETR.yaml:10):
+    # DC5 backbone — res5 at stride 16 with torchvision
+    # replace_stride_with_dilation semantics; the extra level then sits at
+    # stride 32 (official Backbone strides [8, 16, 16] + input_proj 3x3/2)
+    dilation: bool = False
+    # MODEL.DEFORMABLE_DETR.POSITION_EMBEDDING ("sine" | "learned",
+    # configs/Base-DETR.yaml:11): learned = 50-row/col embedding tables of
+    # d_model/2 each, concatenated [x, y] (official
+    # PositionEmbeddingLearned — no valid-region normalization)
+    pos_embedding: str = "sine"
     with_box_refine: bool = False
     two_stage: bool = False
     use_act_checkpoint: bool = False
@@ -280,6 +290,7 @@ class DeformableDETR(nn.Module):
         feats = ResNet(
             depth=50, out_features=("res3", "res4", "res5"),
             freeze_at=self.freeze_at, stride_in_1x1=False,
+            res5_dilation=2 if self.dilation else 1,
             dtype=self.dtype, name="backbone",
         )(images)
         srcs = []
@@ -297,11 +308,24 @@ class DeformableDETR(nn.Module):
         srcs.append(x)
 
         spatial_shapes = [(s.shape[1], s.shape[2]) for s in srcs]
-        strides = [8, 16, 32, 64]
+        strides = [8, 16, 16, 32] if self.dilation else [8, 16, 32, 64]
         level_embed = self.param(
             "level_embed", nn.initializers.normal(1.0),
             (self.n_levels, self.d_model),
         )
+        if self.pos_embedding == "learned":
+            row_embed = self.param(
+                "row_embed", nn.initializers.uniform(1.0),
+                (50, self.d_model // 2),
+            )
+            col_embed = self.param(
+                "col_embed", nn.initializers.uniform(1.0),
+                (50, self.d_model // 2),
+            )
+        elif self.pos_embedding != "sine":
+            raise ValueError(
+                f"POSITION_EMBEDDING must be 'sine' or 'learned', got "
+                f"{self.pos_embedding!r}")
 
         # padding masks + per-level flattened src/pos
         flat_src, flat_pos, flat_mask = [], [], []
@@ -314,9 +338,17 @@ class DeformableDETR(nn.Module):
             vh = jnp.ceil(image_sizes[:, 0:1] / stride)[..., None]
             vw = jnp.ceil(image_sizes[:, 1:2] / stride)[..., None]
             mask = (rows < vh) & (cols < vw)  # [B, H, W]
-            pos = sine_position_embedding(
-                mask, self.d_model, scale=self.pos_scale
-            ).astype(self.dtype)
+            if self.pos_embedding == "learned":
+                # official PositionEmbeddingLearned: [x_emb(col), y_emb(row)]
+                pos = jnp.concatenate(
+                    [jnp.tile(col_embed[None, :ww], (hh, 1, 1)),
+                     jnp.tile(row_embed[:hh, None], (1, ww, 1))], -1,
+                )[None].astype(self.dtype)  # [1, H, W, D], batch-broadcast
+                pos = jnp.broadcast_to(pos, (b, hh, ww, self.d_model))
+            else:
+                pos = sine_position_embedding(
+                    mask, self.d_model, scale=self.pos_scale
+                ).astype(self.dtype)
             flat_src.append(s.reshape(b, hh * ww, self.d_model))
             flat_pos.append(
                 pos.reshape(b, hh * ww, self.d_model)
@@ -646,6 +678,14 @@ class DETRDetector:
         self.dtype = compute_dtype(cfg)
         self.canvas = resolve_canvas(cfg)
         dd = cfg.MODEL.DEFORMABLE_DETR
+        if dd.BACKBONE != "resnet50":
+            raise NotImplementedError(
+                f"DEFORMABLE_DETR.BACKBONE={dd.BACKBONE!r}: only 'resnet50' "
+                "is implemented (the reference's shipped configs use no "
+                "other, configs/Base-DETR.yaml:9)")
+        if dd.NUM_FEATURE_LEVELS != 4:
+            raise NotImplementedError(
+                "DEFORMABLE_DETR.NUM_FEATURE_LEVELS != 4 is not implemented")
         self.num_classes = dd.NUM_CLASSES
         t = dd.TRANSFORMER
         self.module = DeformableDETR(
@@ -661,6 +701,8 @@ class DETRDetector:
             dropout=t.DROPOUT,
             freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
             pos_scale=dd.POSITION_EMBEDDING_SCALE,
+            dilation=dd.DILATION,
+            pos_embedding=dd.POSITION_EMBEDDING,
             # variant flags from configs/Base-DETR.yaml:21-22 (shipped
             # configs leave both off; implemented for reference parity)
             with_box_refine=dd.WITH_BOX_REFINE,

@@ -108,6 +108,7 @@ class RCNN(nn.Module):
     depth: int = 50
     freeze_at: int = 2
     stride_in_1x1: bool = True
+    res5_dilation: int = 1
     convnext_depths: Sequence[int] = (3, 3, 9, 3)
     convnext_dims: Sequence[int] = (96, 192, 384, 768)
     convnext_drop_path: float = 0.2
@@ -131,7 +132,8 @@ class RCNN(nn.Module):
         if name == "build_resnet_fpn_backbone":
             self.bottom_up = ResNet(
                 depth=self.depth, freeze_at=self.freeze_at,
-                stride_in_1x1=self.stride_in_1x1, dtype=self.dtype,
+                stride_in_1x1=self.stride_in_1x1,
+                res5_dilation=self.res5_dilation, dtype=self.dtype,
                 name="backbone",
             )
             self.fpn = FPN(out_channels=self.fpn_out_channels, dtype=self.dtype)
@@ -273,6 +275,7 @@ class RCNNDetector:
             depth=cfg.MODEL.RESNETS.DEPTH,
             freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
             stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
+            res5_dilation=cfg.MODEL.RESNETS.RES5_DILATION,
             convnext_depths=tuple(cfg.MODEL.CONVNEXT.DEPTHS),
             convnext_dims=tuple(cfg.MODEL.CONVNEXT.DIMS),
             convnext_drop_path=cfg.MODEL.CONVNEXT.DROP_PATH_RATE,

@@ -43,20 +43,23 @@ class Bottleneck(nn.Module):
     stride: int = 1
     stride_in_1x1: bool = True
     has_shortcut: bool = False
+    dilation: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         s1, s3 = (self.stride, 1) if self.stride_in_1x1 else (1, self.stride)
-        conv = lambda f, k, s, name: nn.Conv(
-            f, (k, k), (s, s), padding=[(k // 2, k // 2)] * 2, use_bias=False,
+        conv = lambda f, k, s, name, d=1: nn.Conv(
+            f, (k, k), (s, s), padding=[(d * (k // 2), d * (k // 2))] * 2,
+            kernel_dilation=(d, d), use_bias=False,
             dtype=self.dtype, name=name,
             kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
         )
         out = conv(self.bottleneck_channels, 1, s1, "conv1")(x)
         out = FrozenBN(self.bottleneck_channels, name="conv1_norm")(out)
         out = nn.relu(out)
-        out = conv(self.bottleneck_channels, 3, s3, "conv2")(out)
+        out = conv(self.bottleneck_channels, 3, s3, "conv2",
+                   d=self.dilation)(out)
         out = FrozenBN(self.bottleneck_channels, name="conv2_norm")(out)
         out = nn.relu(out)
         out = conv(self.out_channels, 1, 1, "conv3")(out)
@@ -76,6 +79,13 @@ class ResNet(nn.Module):
     out_features: Sequence[str] = ("res2", "res3", "res4", "res5")
     freeze_at: int = 2
     stride_in_1x1: bool = True
+    # res5_dilation=2 (DC5): res5 keeps stride-16 resolution with dilated
+    # 3x3 convs. Semantics follow the checkpoint ecosystem selected by
+    # stride_in_1x1: caffe/D2 (True) dilates every res5 block; torchvision
+    # replace_stride_with_dilation (False) keeps the FIRST block at
+    # dilation 1 (its stride is replaced, previous_dilation was 1) and
+    # dilates the rest — the two layouts compute different functions.
+    res5_dilation: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -101,13 +111,20 @@ class ResNet(nn.Module):
         for stage_idx, n_blocks in enumerate(blocks_per_stage):
             name = f"res{stage_idx + 2}"
             stride = 1 if stage_idx == 0 else 2
+            dilated = name == "res5" and self.res5_dilation > 1
+            if dilated:
+                stride = 1
             for b in range(n_blocks):
+                d = 1
+                if dilated and (self.stride_in_1x1 or b > 0):
+                    d = self.res5_dilation
                 out = Bottleneck(
                     out_channels=out_ch,
                     bottleneck_channels=bott_ch,
                     stride=stride if b == 0 else 1,
                     stride_in_1x1=self.stride_in_1x1,
                     has_shortcut=(b == 0),
+                    dilation=d,
                     dtype=self.dtype,
                     name=f"{name}_block{b}",
                 )(out)

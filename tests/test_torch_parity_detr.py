@@ -38,11 +38,13 @@ torch = pytest.importorskip("torch")
 NC, Q, DM, FF, HEADS, ENC, DEC, PTS = 4, 20, 64, 64, 8, 2, 2, 4
 
 
-def flax_detr(refine=False, two_stage=False):
+def flax_detr(refine=False, two_stage=False, dilation=False,
+              pos_embedding="sine"):
     return DeformableDETR(
         num_classes=NC, num_queries=Q, d_model=DM, d_ff=FF, n_heads=HEADS,
         enc_layers=ENC, dec_layers=DEC, n_points=PTS, dropout=0.0,
-        with_box_refine=refine, two_stage=two_stage,
+        with_box_refine=refine, two_stage=two_stage, dilation=dilation,
+        pos_embedding=pos_embedding,
     )
 
 
@@ -218,3 +220,54 @@ def test_detr_variant_forward_matches_torch(refine, two_stage):
         np.testing.assert_allclose(
             np.asarray(got["enc_boxes"]), extras["enc_boxes"].numpy(),
             rtol=2e-3, atol=2e-3, err_msg="enc boxes")
+
+
+def test_detr_dc5_learned_pos_matches_torch():
+    """DILATION (DC5 torchvision replace_stride_with_dilation; strides
+    become 8/16/16/32) + POSITION_EMBEDDING='learned' (50-entry row/col
+    tables, Joiner index backbone.1) — the two remaining Base-DETR.yaml
+    backbone knobs (configs/Base-DETR.yaml:10-11)."""
+    root = build_deformable_detr(
+        NC, d_model=DM, d_ff=FF, n_heads=HEADS, enc_layers=ENC,
+        dec_layers=DEC, n_points=PTS, num_queries=Q,
+        dilation=True, pos_embedding="learned")
+    randomize(root, seed=21)
+    _fix_norm_weights(root, seed=22)
+
+    net = flax_detr(dilation=True, pos_embedding="learned")
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    sz0 = jnp.asarray([[64.0, 64.0]], jnp.float32)
+    variables = jax.jit(
+        lambda k: net.init(k, x0, sz0, False))(jax.random.PRNGKey(0))
+    params = jax.device_get(variables["params"])
+    frozen = jax.device_get(variables["frozen"])
+
+    golden = golden_deformable_detr_names(ENC, DEC,
+                                          pos_embedding="learned")
+    produced = set()
+    for coll, tree in (("params", params), ("frozen", frozen)):
+        for path in flatten_dict(tree):
+            cands, _ = _detr_name_for(path, coll)
+            assert cands, f"no torch name for {path}"
+            hit = next((c for c in cands if c in golden), None)
+            assert hit is not None, f"{path} -> {cands} not in golden"
+            produced.add(hit)
+    assert produced == golden
+
+    new_params, new_frozen = torch_state_dict_to_tree(
+        root.state_dict(), params, frozen)
+    variables = {"params": new_params, "frozen": new_frozen}
+
+    xt, sizes = _padded_batch()
+    want_logits, want_boxes, _ = detr_forward(
+        root, torch.from_numpy(xt).permute(0, 3, 1, 2),
+        torch.from_numpy(sizes), d_model=DM, num_queries=Q,
+        dilation=True, pos_embedding="learned")
+    got = jax.jit(lambda v, x, s: net.apply(v, x, s, False))(
+        variables, jnp.asarray(xt), jnp.asarray(sizes))
+    np.testing.assert_allclose(
+        np.asarray(got["logits"]), want_logits.numpy(),
+        rtol=2e-3, atol=2e-3, err_msg="class logits")
+    np.testing.assert_allclose(
+        np.asarray(got["boxes"]), want_boxes.numpy(),
+        rtol=2e-3, atol=2e-3, err_msg="boxes")

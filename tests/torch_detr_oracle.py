@@ -27,11 +27,12 @@ class TVBottleneck(nn.Module):
     """torchvision bottleneck: the stride sits on the 3x3 conv (v1.5), not
     on the 1x1 as in the caffe/D2 layout the RCNN family uses."""
 
-    def __init__(self, cin, width, cout, stride):
+    def __init__(self, cin, width, cout, stride, dilation=1):
         super().__init__()
         self.conv1 = nn.Conv2d(cin, width, 1, bias=False)
         self.bn1 = FrozenBN(width)
-        self.conv2 = nn.Conv2d(width, width, 3, stride, 1, bias=False)
+        self.conv2 = nn.Conv2d(width, width, 3, stride, dilation,
+                               dilation=dilation, bias=False)
         self.bn2 = FrozenBN(width)
         self.conv3 = nn.Conv2d(width, cout, 1, bias=False)
         self.bn3 = FrozenBN(cout)
@@ -48,15 +49,20 @@ class TVBottleneck(nn.Module):
         return F.relu(y + sc)
 
 
-def build_tv_resnet50():
+def build_tv_resnet50(dilation=False):
+    """dilation=True is torchvision replace_stride_with_dilation on layer4:
+    first block stride->1 at dilation 1 (previous_dilation), later blocks
+    dilation 2."""
     body = NS()
     body.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
     body.bn1 = FrozenBN(64)
     chans = [(64, 64, 256, 3, 1), (256, 128, 512, 4, 2),
              (1024 // 2, 256, 1024, 6, 2), (1024, 512, 2048, 3, 2)]
     for li, (cin, w, cout, n, s) in enumerate(chans, start=1):
-        blocks = [TVBottleneck(cin, w, cout, s)]
-        blocks += [TVBottleneck(cout, w, cout, 1) for _ in range(n - 1)]
+        d = 2 if (dilation and li == 4) else 1
+        s0 = 1 if d > 1 else s
+        blocks = [TVBottleneck(cin, w, cout, s0, 1)]
+        blocks += [TVBottleneck(cout, w, cout, 1, d) for _ in range(n - 1)]
         setattr(body, f"layer{li}", nn.Sequential(*blocks))
     return body
 
@@ -120,10 +126,16 @@ class TMSDeformAttn(nn.Module):
         offsets = self.sampling_offsets(query).view(b, lq, h, L, p, 2)
         attn = self.attention_weights(query).view(b, lq, h, L * p)
         attn = attn.softmax(-1).view(b, lq, h, L, p)
-        normalizer = torch.tensor(
-            [[ww, hh] for hh, ww in spatial_shapes], dtype=torch.float32)
-        loc = (reference_points[:, :, None, :, None, :]
-               + offsets / normalizer[None, None, None, :, None, :])
+        if reference_points.shape[-1] == 4:
+            # box-refine/two-stage: offsets scale with the reference box
+            ref = reference_points[:, :, None, :, None, :]
+            loc = ref[..., :2] + offsets / p * ref[..., 2:] * 0.5
+        else:
+            normalizer = torch.tensor(
+                [[ww, hh] for hh, ww in spatial_shapes],
+                dtype=torch.float32)
+            loc = (reference_points[:, :, None, :, None, :]
+                   + offsets / normalizer[None, None, None, :, None, :])
         out = ms_deform_attn_core_torch(value, spatial_shapes, loc, attn)
         return self.output_proj(out)
 
@@ -172,11 +184,18 @@ class TDecoderLayer(nn.Module):
 def build_deformable_detr(num_classes, d_model=64, d_ff=64, n_heads=8,
                           enc_layers=2, dec_layers=2, n_points=4,
                           num_queries=20, with_box_refine=False,
-                          two_stage=False):
+                          two_stage=False, dilation=False,
+                          pos_embedding="sine"):
     L = 4
     root = NS()
-    root.backbone = nn.ModuleDict(
-        {"0": nn.ModuleDict({"body": build_tv_resnet50()})})
+    bb = nn.ModuleDict(
+        {"0": nn.ModuleDict({"body": build_tv_resnet50(dilation)})})
+    if pos_embedding == "learned":
+        pe = NS()
+        pe.row_embed = nn.Embedding(50, d_model // 2)
+        pe.col_embed = nn.Embedding(50, d_model // 2)
+        bb["1"] = pe
+    root.backbone = bb
     projs = []
     for cin in (512, 1024, 2048):
         projs.append(nn.Sequential(
@@ -281,7 +300,8 @@ def proposal_pos_embed(coords_unact, d_model, scale=2 * math.pi):
 
 @torch.no_grad()
 def detr_forward(root, x, image_sizes, d_model=64, with_box_refine=False,
-                 two_stage=False, num_queries=20):
+                 two_stage=False, num_queries=20, dilation=False,
+                 pos_embedding="sine"):
     """x NCHW; image_sizes [B, 2] (h, w) valid extents. Returns
     (logits [Ld, B, Q, K], boxes [Ld, B, Q, 4] cxcywh normalized, extras)
     where extras carries enc_logits/enc_boxes under two_stage."""
@@ -289,7 +309,7 @@ def detr_forward(root, x, image_sizes, d_model=64, with_box_refine=False,
     c3, c4, c5 = resnet_forward(root.backbone["0"]["body"], x)
     feats = [root.input_proj[i](f) for i, f in enumerate((c3, c4, c5))]
     feats.append(root.input_proj[3](c5))
-    strides = (8, 16, 32, 64)
+    strides = (8, 16, 16, 32) if dilation else (8, 16, 32, 64)
     spatial_shapes = [tuple(f.shape[-2:]) for f in feats]
 
     srcs, poss, pad_masks, valid_ratios = [], [], [], []
@@ -300,7 +320,15 @@ def detr_forward(root, x, image_sizes, d_model=64, with_box_refine=False,
         vh = torch.ceil(image_sizes[:, 0:1].float() / s)[..., None]
         vw = torch.ceil(image_sizes[:, 1:2].float() / s)[..., None]
         valid = (rows < vh) & (cols < vw)  # [B, H, W]
-        pos = sine_pos_embed(valid.float(), d_model)
+        if pos_embedding == "learned":
+            pe = root.backbone["1"]
+            xe = pe.col_embed(torch.arange(ww))  # [W, D/2]
+            ye = pe.row_embed(torch.arange(hh))  # [H, D/2]
+            pos = torch.cat([xe[None].expand(hh, -1, -1),
+                             ye[:, None].expand(-1, ww, -1)], -1)
+            pos = pos.permute(2, 0, 1)[None].expand(b, -1, -1, -1)
+        else:
+            pos = sine_pos_embed(valid.float(), d_model)
         srcs.append(f.flatten(2).transpose(1, 2))
         poss.append(pos.flatten(2).transpose(1, 2)
                     + root.transformer.level_embed[lvl].view(1, 1, -1))
@@ -400,7 +428,8 @@ def detr_forward(root, x, image_sizes, d_model=64, with_box_refine=False,
 
 
 def golden_deformable_detr_names(enc_layers=2, dec_layers=2,
-                                 with_box_refine=False, two_stage=False):
+                                 with_box_refine=False, two_stage=False,
+                                 pos_embedding="sine"):
     """Canonical official-layout names. Without box refine the shared heads
     are listed at index 0 only (a real checkpoint additionally repeats
     class_embed/bbox_embed under indices 1..num_pred-1 with identical
@@ -424,6 +453,9 @@ def golden_deformable_detr_names(enc_layers=2, dec_layers=2,
             if bi == 0:
                 names += [f"{base}.downsample.0.weight"]
                 names += fbn(f"{base}.downsample.1")
+    if pos_embedding == "learned":
+        names += ["backbone.1.row_embed.weight",
+                  "backbone.1.col_embed.weight"]
     for i in range(4):
         names += lin(f"input_proj.{i}.0") + lin(f"input_proj.{i}.1")
     names += ["transformer.level_embed"]
