@@ -325,6 +325,11 @@ def get_default_cfg() -> CN:
     _C.TPU.COMPUTE_DTYPE = ""
     # Device mesh axis sizes; data-parallel only by default. 0 = all devices.
     _C.TPU.MESH_DATA = 0
+    # Model (tensor-parallel) axis size; must divide the device count.
+    # >1 Megatron-shards the MLP/FFN expand/contract matmuls (ViT mlp_fc*,
+    # ConvNeXt pwconv*, DETR FFN linear*, box-head fc*) over the mesh's
+    # "model" axis — beyond the DP-only reference (SURVEY 2.6).
+    _C.TPU.MESH_MODEL = 1
     # Gradient accumulation microbatches per step (lax.scan); the TPU
     # equivalent of the reference's SOLVER.IMS_PER_GPU chunking. Every
     # stream's per-step batch must divide evenly.

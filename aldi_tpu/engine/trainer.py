@@ -26,7 +26,7 @@ from .. import data  # noqa: F401  (dataset registrations)
 from ..data import datasets  # noqa: F401
 from ..data.loader import WeakStrongLoader
 from ..models import build_detector
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.mesh import make_mesh, replicate, shard_batch, shard_state
 from ..utils.events import EventStorage, build_writers, setup_logger
 from .checkpoint import Checkpointer
 from .evaluator import inference_on_dataset
@@ -104,16 +104,22 @@ class ALDITrainer:
         self.step_fn = make_train_step(cfg, self.detector, self._tx)
 
         n_mesh = cfg.TPU.MESH_DATA or len(jax.devices())
-        self.mesh = make_mesh(n_mesh) if n_mesh > 1 else None
+        n_model = max(1, cfg.TPU.MESH_MODEL)
+        self.mesh = (make_mesh(n_mesh, n_model)
+                     if n_mesh > 1 else None)
         if self.mesh is not None:
+            n_data = n_mesh // n_model
             for c, s in zip(cfg.DATASETS.BATCH_CONTENTS,
                             _stream_sizes(cfg)):
-                assert s % n_mesh == 0, (
-                    f"stream {c} batch {s} not divisible by mesh size "
-                    f"{n_mesh}; adjust SOLVER.IMS_PER_BATCH or TPU.MESH_DATA"
+                assert s % n_data == 0, (
+                    f"stream {c} batch {s} not divisible by data-axis size "
+                    f"{n_data}; adjust SOLVER.IMS_PER_BATCH or TPU.MESH_*"
                 )
-            self.state = replicate(self.state, self.mesh)
-            self.logger.info(f"Data-parallel over {n_mesh} devices")
+            self.state = shard_state(self.state, self.mesh)
+            self.logger.info(
+                f"Mesh over {n_mesh} devices: data={n_data}"
+                + (f" x model={n_model} (Megatron MLP sharding)"
+                   if n_model > 1 else ""))
 
         self.loader = None  # built lazily (eval-only runs have no train data)
         self.checkpointer = Checkpointer(cfg.OUTPUT_DIR, self.logger)
@@ -137,7 +143,7 @@ class ALDITrainer:
                 self.checkpointer.load_extra().get("best_ap50", {})
             )
         if self.mesh is not None:
-            self.state = replicate(self.state, self.mesh)
+            self.state = shard_state(self.state, self.mesh)
 
     # --------------------------------------------------------------- train
     def train(self):

@@ -1,1 +1,3 @@
-from .mesh import make_mesh, replicate, shard_batch  # noqa: F401
+from .mesh import (  # noqa: F401
+    make_mesh, replicate, shard_batch, shard_state, tp_spec,
+)

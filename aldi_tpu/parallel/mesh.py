@@ -6,8 +6,21 @@ data parallelism is a 1-D ``jax.sharding.Mesh``: the batch is sharded on the
 ``data`` axis, model/optimizer/EMA state is replicated, and XLA inserts the
 gradient all-reduce over ICI. No process groups, no gradient hooks, no
 DDP-unwrapping — one program.
+
+Beyond the reference (which is DP-only, SURVEY section 2.6): an opt-in
+``model`` mesh axis (``TPU.MESH_MODEL``) Megatron-shards the MLP/FFN
+expand-contract matmuls — the FLOPs-dominant pair in ViT blocks, ConvNeXt
+blocks, DETR transformer layers, and the R-CNN box head. The expand kernel
+is column-parallel (output features sharded, bias sharded), the contract
+kernel row-parallel (input features sharded); GSPMD keeps the hidden
+activation sharded between them and inserts ONE all-reduce after the
+contract, all over ICI. Attention/conv trunk weights stay replicated (their
+per-chip sizes are modest at ViT-L and below); optimizer/EMA state follows
+the param shardings automatically because the rules match on path suffixes
+that appear unchanged inside the optax state pytrees.
 """
 
+import re
 from typing import Optional
 
 import jax
@@ -15,10 +28,68 @@ from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+def make_mesh(n_devices: Optional[int] = None,
+              model_parallel: int = 1) -> Mesh:
     n = n_devices or len(jax.devices())
-    devices = mesh_utils.create_device_mesh((n,))
-    return Mesh(devices, ("data",))
+    if model_parallel <= 1:
+        devices = mesh_utils.create_device_mesh((n,))
+        return Mesh(devices, ("data",))
+    if n % model_parallel:
+        raise ValueError(
+            f"{n} devices not divisible by TPU.MESH_MODEL={model_parallel}")
+    devices = mesh_utils.create_device_mesh((n // model_parallel,
+                                             model_parallel))
+    return Mesh(devices, ("data", "model"))
+
+
+# Megatron MLP pair: expand (column-parallel) / contract (row-parallel).
+# ViT mlp_fc1/mlp_fc2; ConvNeXt pwconv1/pwconv2; DETR FFN linear1/linear2;
+# R-CNN box head fc1/fc2 (all flax Dense: kernel [in, out]).
+_TP_EXPAND = re.compile(r"(^|/)(mlp_fc1|pwconv1|linear1|fc1)/(kernel|bias)$")
+_TP_CONTRACT = re.compile(r"(^|/)(mlp_fc2|pwconv2|linear2|fc2)/kernel$")
+
+
+def _path_str(path) -> str:
+    parts = []
+    for k in path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "name"):
+            parts.append(str(k.name))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def tp_spec(path, leaf, model_size: int):
+    """PartitionSpec for one state leaf under the ``model`` axis; P() when
+    no rule matches or the sharded dim does not divide."""
+    name = _path_str(path)
+    ndim = getattr(leaf, "ndim", 0)
+    shape = getattr(leaf, "shape", ())
+    if _TP_EXPAND.search(name) and ndim >= 1:
+        if shape[-1] % model_size == 0:
+            return P(*([None] * (ndim - 1) + ["model"]))
+    elif _TP_CONTRACT.search(name) and ndim == 2:
+        if shape[0] % model_size == 0:
+            return P("model", None)
+    return P()
+
+
+def shard_state(tree, mesh: Mesh):
+    """Place a train-state pytree on the mesh: tensor-parallel leaves get
+    their Megatron spec, everything else is replicated. On a pure-DP mesh
+    this is exactly ``replicate``."""
+    if "model" not in mesh.axis_names:
+        return replicate(tree, mesh)
+    m = mesh.shape["model"]
+
+    def put(path, x):
+        return jax.device_put(x, NamedSharding(mesh, tp_spec(path, x, m)))
+
+    return jax.tree_util.tree_map_with_path(put, tree)
 
 
 def shard_batch(batch, mesh: Mesh):

@@ -1,0 +1,147 @@
+"""Tensor-parallel (Megatron MLP) sharding over the 2-D data x model mesh.
+
+Beyond-reference capability (the reference stack is DP-only, SURVEY §2.6):
+``TPU.MESH_MODEL > 1`` column/row-shards the expand/contract matmul pairs
+(ViT mlp_fc*, ConvNeXt pwconv*, DETR FFN linear*, box-head fc*). These
+tests run a REAL jitted DAOD train step over a 4x2 virtual-CPU mesh and
+check both the placement (leaves actually carry the model axis) and the
+math (one TP step == one replicated step to f32 tolerance).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from flax.traverse_util import flatten_dict
+
+from aldi_tpu.parallel.mesh import make_mesh, replicate, shard_batch, \
+    shard_state, tp_spec
+
+
+class _Leaf:
+    def __init__(self, shape):
+        self.shape = shape
+        self.ndim = len(shape)
+
+
+def _key(*names):
+    return tuple(jax.tree_util.DictKey(n) for n in names)
+
+
+def test_tp_spec_rules():
+    # expand: last dim sharded (kernel and bias)
+    assert tp_spec(_key("box_head", "fc1", "kernel"),
+                   _Leaf((128, 64)), 2) == P(None, "model")
+    assert tp_spec(_key("box_head", "fc1", "bias"),
+                   _Leaf((64,)), 2) == P("model")
+    assert tp_spec(_key("block0", "mlp_fc1", "kernel"),
+                   _Leaf((32, 128)), 4) == P(None, "model")
+    # contract: first dim sharded, bias replicated
+    assert tp_spec(_key("block0", "mlp_fc2", "kernel"),
+                   _Leaf((128, 32)), 4) == P("model", None)
+    assert tp_spec(_key("block0", "mlp_fc2", "bias"),
+                   _Leaf((32,)), 4) == P()
+    # optax state mirrors params under a prefix — suffix match still hits
+    assert tp_spec(_key("opt_state", "1", "mu", "params", "stage0_block0",
+                        "pwconv1", "kernel"),
+                   _Leaf((16, 64)), 2) == P(None, "model")
+    # non-divisible dims fall back to replication
+    assert tp_spec(_key("box_head", "fc1", "kernel"),
+                   _Leaf((128, 63)), 2) == P()
+    # unmatched names replicate
+    assert tp_spec(_key("rpn_head", "conv", "kernel"),
+                   _Leaf((3, 3, 16, 16)), 2) == P()
+    # no false hit on names merely containing fc1
+    assert tp_spec(_key("head", "notfc1", "kernel"),
+                   _Leaf((16, 16)), 2) == P()
+
+
+def _tiny(daod):
+    import __graft_entry__ as ge
+
+    cfg = ge._tiny_cfg(canvas=(64, 64), depth=26, daod=daod)
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 32
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 16
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 32
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 16
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 8
+    cfg.TEST.DETECTIONS_PER_IMAGE = 5
+    cfg.freeze()
+    return cfg
+
+
+def _setup(cfg):
+    import __graft_entry__ as ge
+    from aldi_tpu.engine import create_train_state, make_train_step
+    from aldi_tpu.models import build_detector
+
+    det = build_detector(cfg)
+    _, tx = create_train_state(cfg, det, jax.random.PRNGKey(0))
+    step_fn = make_train_step(cfg, det, tx)
+    batch = ge._fake_batch(8, det.canvas, cfg.TPU.MAX_GT,
+                           "unlabeled_strong" in cfg.DATASETS.BATCH_CONTENTS)
+
+    def fresh_state():
+        # fresh per run: step_fn donates its input, and device_put aliases
+        # replicated leaves across identical device sets — sharing one
+        # state object would hand the second step already-consumed buffers
+        from aldi_tpu.engine import create_train_state as cts
+        s, _ = cts(cfg, det, jax.random.PRNGKey(0))
+        return s
+
+    return fresh_state, step_fn, batch
+
+
+def test_tp_burnin_step_matches_dp():
+    """One burn-in train step on the 4x2 (data x model) mesh must produce
+    the same parameters as the replicated 8-way DP step — GSPMD inserts
+    the Megatron collectives without changing the math. (The DAOD step is
+    checked as a smoke test only: the teacher's box head runs through the
+    TP-sharded matmuls, and its reduction-order epsilons legitimately flip
+    discrete pseudo-label gates — NMS, score thresholds, anchor matching —
+    so distill losses are not bit-comparable across shardings.)"""
+    fresh_state, step_fn, batch = _setup(_tiny(daod=False))
+
+    mesh_dp = make_mesh(8)
+    s_dp = replicate(fresh_state(), mesh_dp)
+    out_dp, m_dp = step_fn(s_dp, shard_batch(batch, mesh_dp),
+                           jax.random.PRNGKey(1))
+
+    mesh_tp = make_mesh(8, model_parallel=2)
+    s_tp = shard_state(fresh_state(), mesh_tp)
+    # placement: the box-head expand kernel must actually be sharded on the
+    # model axis (a silent no-match would quietly degrade to pure DP)
+    tp_leaves = [k for k, v in flatten_dict(s_tp.params).items()
+                 if "model" in str(v.sharding.spec)]
+    assert any("fc1" in "/".join(k) for k in tp_leaves), (
+        f"no fc1 leaf sharded on the model axis: {sorted(tp_leaves)[:5]}")
+    out_tp, m_tp = step_fn(s_tp, shard_batch(batch, mesh_tp),
+                           jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(
+        float(jax.device_get(m_tp["total_loss"])),
+        float(jax.device_get(m_dp["total_loss"])), rtol=1e-5, atol=1e-5)
+    p_dp = flatten_dict(jax.device_get(out_dp.params))
+    p_tp = flatten_dict(jax.device_get(out_tp.params))
+    worst = 0.0
+    for k in p_dp:
+        a, b = np.asarray(p_dp[k]), np.asarray(p_tp[k])
+        if a.dtype.kind == "f":
+            worst = max(worst, float(np.max(np.abs(a - b))))
+    assert worst < 1e-4, f"TP step diverged from DP step by {worst}"
+    # updated params keep their shardings (donated-state round trip)
+    after = flatten_dict(out_tp.params)
+    assert any("model" in str(v.sharding.spec) for v in after.values())
+
+
+def test_tp_daod_step_smoke():
+    """Full DAOD step (teacher + pseudo-labels + distill) compiles and
+    runs on the 4x2 mesh with finite losses."""
+    fresh_state, step_fn, batch = _setup(_tiny(daod=True))
+    mesh_tp = make_mesh(8, model_parallel=2)
+    s_tp = shard_state(fresh_state(), mesh_tp)
+    out, metrics = step_fn(s_tp, shard_batch(batch, mesh_tp),
+                           jax.random.PRNGKey(1))
+    for k, v in metrics.items():
+        assert np.isfinite(float(jax.device_get(v))), k
+    assert int(jax.device_get(out.step)) == 1
