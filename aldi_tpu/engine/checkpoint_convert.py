@@ -356,6 +356,17 @@ def _convert_array(
         if leaf == "kernel":  # torch [D_out, h*hd] -> flax [h, hd, D_out]
             return t.T.reshape(target.shape)
         return t
+    if len(flax_path) > 2 and flax_path[-3] == "attn":
+        # ViT attention head-major DenseGeneral layouts (models/vit.py):
+        # torch qkv [3D, D] -> [D, 3, nh, hd]; proj [D, D] -> [nh, hd, D]
+        # (torch flattens 3D as (3, nh, hd) and the proj input as (nh, hd))
+        if flax_path[-2] == "qkv":
+            if leaf == "kernel" and t.ndim == 2 and target.ndim == 4:
+                return t.T.reshape(target.shape)
+            if leaf == "bias" and t.ndim == 1 and target.ndim == 3:
+                return t.reshape(target.shape)
+        if flax_path[-2] == "proj" and leaf == "kernel" and target.ndim == 3:
+            return t.T.reshape(target.shape)
     if leaf == "kernel" and len(flax_path) > 1 and "deconv" in flax_path[-2]:
         # torch ConvTranspose2d [in, out, kH, kW] -> flax [kH, kW, in, out]
         # with the spatial flip (verified numerically vs torch)

@@ -55,7 +55,14 @@ class Attention(nn.Module):
     def __call__(self, x):  # [B, H, W, C]
         b, h, w, _ = x.shape
         head_dim = self.dim // self.num_heads
-        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
+        # head-major DenseGeneral layout (kernel [C, 3, nh, hd]) so the
+        # head axis is a real tensor dim the TP mesh can shard
+        # (parallel/mesh.py; a flat [C, 3*nh*hd] Dense hides heads inside
+        # a composite dim GSPMD cannot split at head granularity)
+        qkv = nn.DenseGeneral(
+            features=(3, self.num_heads, head_dim), dtype=self.dtype,
+            name="qkv",
+        )(x)
         qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
         q, k, v = jnp.moveaxis(qkv, 2, 0)  # [B, HW, nh, hd]
         q = jnp.moveaxis(q, 2, 1)  # [B, nh, HW, hd]
@@ -108,9 +115,12 @@ class Attention(nn.Module):
                     h, w,
                 )
                 out = out.reshape(b, self.num_heads, n, head_dim)
-                out = jnp.moveaxis(out, 1, 2).reshape(b, h, w, self.dim)
-                return nn.Dense(self.dim, dtype=self.dtype,
-                                name="proj")(out)
+                out = jnp.moveaxis(out, 1, 2).reshape(
+                    b, h, w, self.num_heads, head_dim)
+                return nn.DenseGeneral(
+                    features=self.dim, axis=(-2, -1), dtype=self.dtype,
+                    name="proj",
+                )(out)
 
             attn = attn.reshape(b, self.num_heads, h, w, h, w)
             attn = attn + bias_h[..., :, None] + bias_w[..., None, :]
@@ -118,8 +128,13 @@ class Attention(nn.Module):
 
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
         out = jnp.einsum("bnqk,bnkd->bnqd", attn, v)
-        out = jnp.moveaxis(out, 1, 2).reshape(b, h, w, self.dim)
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        out = jnp.moveaxis(out, 1, 2).reshape(
+            b, h, w, self.num_heads, head_dim)
+        # row-parallel contraction over (nh, hd): under TP the partial
+        # products reduce with ONE all-reduce here
+        return nn.DenseGeneral(
+            features=self.dim, axis=(-2, -1), dtype=self.dtype, name="proj",
+        )(out)
 
 
 def window_partition(x, window: int):

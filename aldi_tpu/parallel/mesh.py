@@ -47,6 +47,11 @@ def make_mesh(n_devices: Optional[int] = None,
 # R-CNN box head fc1/fc2 (all flax Dense: kernel [in, out]).
 _TP_EXPAND = re.compile(r"(^|/)(mlp_fc1|pwconv1|linear1|fc1)/(kernel|bias)$")
 _TP_CONTRACT = re.compile(r"(^|/)(mlp_fc2|pwconv2|linear2|fc2)/kernel$")
+# ViT attention, head-major DenseGeneral layouts (models/vit.py):
+# qkv kernel [C, 3, nh, hd] / bias [3, nh, hd] shard nh (column-parallel);
+# proj kernel [nh, hd, D] contracts nh+hd (row-parallel, one all-reduce).
+_TP_ATTN_QKV = re.compile(r"(^|/)attn/qkv/(kernel|bias)$")
+_TP_ATTN_PROJ = re.compile(r"(^|/)attn/proj/kernel$")
 
 
 def _path_str(path) -> str:
@@ -75,6 +80,13 @@ def tp_spec(path, leaf, model_size: int):
     elif _TP_CONTRACT.search(name) and ndim == 2:
         if shape[0] % model_size == 0:
             return P("model", None)
+    elif _TP_ATTN_QKV.search(name):
+        # kernel [C, 3, nh, hd] / bias [3, nh, hd]: nh is dim -2
+        if ndim in (3, 4) and shape[-2] % model_size == 0:
+            return P(*([None] * (ndim - 2) + ["model", None]))
+    elif _TP_ATTN_PROJ.search(name):
+        if ndim == 3 and shape[0] % model_size == 0:
+            return P("model", None, None)
     return P()
 
 

@@ -45,6 +45,15 @@ def test_tp_spec_rules():
     assert tp_spec(_key("opt_state", "1", "mu", "params", "stage0_block0",
                         "pwconv1", "kernel"),
                    _Leaf((16, 64)), 2) == P(None, "model")
+    # ViT attention head sharding (DenseGeneral layouts)
+    assert tp_spec(_key("block0", "attn", "qkv", "kernel"),
+                   _Leaf((64, 3, 8, 8)), 4) == P(None, None, "model", None)
+    assert tp_spec(_key("block0", "attn", "qkv", "bias"),
+                   _Leaf((3, 8, 8)), 4) == P(None, "model", None)
+    assert tp_spec(_key("block0", "attn", "proj", "kernel"),
+                   _Leaf((8, 8, 64)), 4) == P("model", None, None)
+    assert tp_spec(_key("block0", "attn", "proj", "bias"),
+                   _Leaf((64,)), 4) == P()
     # non-divisible dims fall back to replication
     assert tp_spec(_key("box_head", "fc1", "kernel"),
                    _Leaf((128, 63)), 2) == P()
@@ -145,3 +154,98 @@ def test_tp_daod_step_smoke():
     for k, v in metrics.items():
         assert np.isfinite(float(jax.device_get(v))), k
     assert int(jax.device_get(out.step)) == 1
+
+
+def test_tp_vit_attention_heads_sharded():
+    """ViTDet under TP: the head-major qkv/proj DenseGeneral layouts take
+    the model axis and a sharded forward still produces finite losses."""
+    from tests.test_rcnn_forward import tiny_cfg
+    from aldi_tpu.models import build_detector
+    from aldi_tpu.models.vit import VIT_CONFIGS
+
+    cfg = tiny_cfg(**{
+        "MODEL.BACKBONE.NAME": "build_vitdet_b_backbone",
+        "MODEL.ROI_BOX_HEAD.NORM": "LN",
+        "MODEL.ROI_BOX_HEAD.NUM_CONV": 2,
+        "MODEL.ROI_BOX_HEAD.NUM_FC": 1,
+        "MODEL.RPN.CONV_DIMS": [-1, -1],
+    })
+    orig = dict(VIT_CONFIGS["b"])
+    VIT_CONFIGS["b"] = dict(
+        embed_dim=64, depth=3, num_heads=2, drop_path_rate=0.0,
+        global_blocks=(1,),
+    )
+    try:
+        det = build_detector(cfg)
+        variables = jax.jit(det.init_variables)(jax.random.PRNGKey(0))
+        mesh = make_mesh(8, model_parallel=2)
+        v_tp = shard_state(dict(variables), mesh)
+        flat = flatten_dict(v_tp["params"])
+        qkv = [k for k in flat if k[-2:] == ("qkv", "kernel")]
+        assert qkv and all(
+            "model" in str(flat[k].sharding.spec) for k in qkv)
+        proj = [k for k in flat
+                if k[-2:] == ("proj", "kernel") and "attn" in k]
+        assert proj and all(
+            "model" in str(flat[k].sharding.spec) for k in proj)
+
+        import __graft_entry__ as ge
+        batch = ge._fake_batch(8, det.canvas, cfg.TPU.MAX_GT, False)
+        images = jax.device_put(
+            batch["labeled"]["image"],
+            jax.sharding.NamedSharding(mesh, P("data")))
+        sizes = jax.device_put(
+            batch["labeled"]["sizes"],
+            jax.sharding.NamedSharding(mesh, P("data")))
+        out = jax.jit(det.forward_inference)(v_tp, images, sizes)
+        for leaf in jax.tree_util.tree_leaves(out):
+            assert np.all(np.isfinite(np.asarray(
+                jax.device_get(leaf), dtype=np.float64)))
+    finally:
+        VIT_CONFIGS["b"] = orig
+
+
+def test_tp_inference_matches_replicated():
+    """Serving path under model sharding: forward_inference (student
+    forward + NMS postprocess) with TP-sharded params must produce the
+    detections of the replicated run — the eval/pseudo-label flow the
+    trainer drives with a live mesh."""
+    from aldi_tpu.models import build_detector
+    from aldi_tpu.engine import create_train_state
+
+    cfg = _tiny(daod=False)
+    det = build_detector(cfg)
+    state, _ = create_train_state(cfg, det, jax.random.PRNGKey(0))
+    variables = {"params": state.params, "frozen": state.frozen}
+    import __graft_entry__ as ge
+    batch = ge._fake_batch(8, det.canvas, cfg.TPU.MAX_GT, False)
+    images, sizes = batch["labeled"]["image"], batch["labeled"]["sizes"]
+
+    infer = jax.jit(det.forward_inference)
+
+    mesh_dp = make_mesh(8)
+    v_dp = replicate(variables, mesh_dp)
+    out_dp = jax.device_get(infer(
+        v_dp, *jax.device_put(
+            (images, sizes),
+            jax.sharding.NamedSharding(mesh_dp, P("data")))))
+
+    mesh_tp = make_mesh(8, model_parallel=2)
+    v_tp = shard_state(variables, mesh_tp)
+    out_tp = jax.device_get(infer(
+        v_tp, *jax.device_put(
+            (images, sizes),
+            jax.sharding.NamedSharding(mesh_tp, P("data")))))
+
+    boxes_dp, scores_dp, classes_dp, valid_dp = out_dp
+    boxes_tp, scores_tp, classes_tp, valid_tp = out_tp
+    np.testing.assert_array_equal(np.asarray(valid_dp),
+                                  np.asarray(valid_tp))
+    np.testing.assert_array_equal(np.asarray(classes_dp) * valid_dp,
+                                  np.asarray(classes_tp) * valid_tp)
+    np.testing.assert_allclose(
+        np.asarray(scores_dp) * valid_dp,
+        np.asarray(scores_tp) * valid_tp, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(boxes_dp) * valid_dp[..., None],
+        np.asarray(boxes_tp) * valid_tp[..., None], rtol=1e-3, atol=1e-3)
