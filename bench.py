@@ -244,15 +244,20 @@ def main():
     from __graft_entry__ import _fake_batch
     from aldi_tpu.engine import create_train_state, make_train_step
     from aldi_tpu.models import build_detector
-    from aldi_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from aldi_tpu.parallel.mesh import (
+        make_mesh, shard_batch, shard_state,
+    )
 
     det = build_detector(cfg)
     state, tx = create_train_state(cfg, det, jax.random.PRNGKey(0))
 
     mesh = None
     if n_chips > 1:
-        mesh = make_mesh(n_chips)
-        state = replicate(state, mesh)
+        # BENCH_MESH_MODEL=m: (n/m data) x (m model) mesh with Megatron TP
+        # shardings (parallel/mesh.py) instead of pure DP
+        n_model = int(os.environ.get("BENCH_MESH_MODEL", "1"))
+        mesh = make_mesh(n_chips, model_parallel=n_model)
+        state = shard_state(state, mesh)
 
     batch = _fake_batch(bpc * n_chips, det.canvas, cfg.TPU.MAX_GT, True)
     if mesh is not None:
