@@ -89,8 +89,12 @@ class ALDITrainer:
     def __init__(self, cfg):
         self.logger = setup_logger(cfg.OUTPUT_DIR)
         maybe_init_distributed(self.logger)
-        # the reference's "world size" = #GPUs; ours = #chips
-        cfg = auto_scale_workers(cfg, len(jax.devices()))
+        # the reference's "world size" = #GPUs; ours = the DATA-parallel
+        # width — chips divided by the tensor-parallel axis, since model
+        # shards share one batch slice (throughput scales with data width)
+        n_dev = cfg.TPU.MESH_DATA or len(jax.devices())
+        cfg = auto_scale_workers(
+            cfg, max(1, n_dev // max(1, cfg.TPU.MESH_MODEL)))
         if not cfg.is_frozen():
             cfg.freeze()
         self.cfg = cfg
