@@ -323,9 +323,10 @@ def get_default_cfg() -> CN:
     # Compute dtype: "bfloat16" when SOLVER.AMP.ENABLED else "float32";
     # set explicitly to override.
     _C.TPU.COMPUTE_DTYPE = ""
-    # Device mesh axis sizes; data-parallel only by default. 0 = all devices.
+    # Data-parallel axis WIDTH (not total devices): total mesh size is
+    # MESH_DATA x MESH_MODEL. 0 = all devices divided by MESH_MODEL.
     _C.TPU.MESH_DATA = 0
-    # Model (tensor-parallel) axis size; must divide the device count.
+    # Model (tensor-parallel) axis width; must divide the device count.
     # >1 Megatron-shards the MLP/FFN expand/contract matmuls (ViT mlp_fc*,
     # ConvNeXt pwconv*, DETR FFN linear*, box-head fc*) over the mesh's
     # "model" axis — beyond the DP-only reference (SURVEY 2.6).

@@ -274,9 +274,11 @@ def _detr_name_for(path: Tuple[str, ...], collection: str):
         if suffix == "_enc":
             # two-stage encoder head: torch list index dec_layers. Candidates
             # descend so the HIGHEST index present wins — per-layer heads
-            # occupy 0..dec_layers-1, so the max index is always the enc head
+            # occupy 0..dec_layers-1, so the max index is always the enc
+            # head (cap 12 covers any plausible decoder depth; official
+            # and reference ship 6)
             return [f"class_embed.{i}.{lm[leaf]}"
-                    for i in range(6, 0, -1)], None
+                    for i in range(12, 0, -1)], None
         if suffix:  # per-layer head under WITH_BOX_REFINE
             return [f"class_embed.{int(suffix)}.{lm[leaf]}"], None
         return [f"class_embed.0.{lm[leaf]}", f"class_embed.{lm[leaf]}"], None
@@ -285,7 +287,7 @@ def _detr_name_for(path: Tuple[str, ...], collection: str):
         i = int(parts[1][1:])  # l{i}
         if suffix == "_enc":
             return [f"bbox_embed.{j}.layers.{i}.{lm[leaf]}"
-                    for j in range(6, 0, -1)], None
+                    for j in range(12, 0, -1)], None
         if suffix:
             return [f"bbox_embed.{int(suffix)}.layers.{i}.{lm[leaf]}"], None
         return [f"bbox_embed.0.layers.{i}.{lm[leaf]}",

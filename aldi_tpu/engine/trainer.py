@@ -26,7 +26,7 @@ from .. import data  # noqa: F401  (dataset registrations)
 from ..data import datasets  # noqa: F401
 from ..data.loader import WeakStrongLoader
 from ..models import build_detector
-from ..parallel.mesh import make_mesh, replicate, shard_batch, shard_state
+from ..parallel.mesh import make_mesh, shard_batch, shard_state
 from ..utils.events import EventStorage, build_writers, setup_logger
 from .checkpoint import Checkpointer
 from .evaluator import inference_on_dataset
@@ -90,11 +90,11 @@ class ALDITrainer:
         self.logger = setup_logger(cfg.OUTPUT_DIR)
         maybe_init_distributed(self.logger)
         # the reference's "world size" = #GPUs; ours = the DATA-parallel
-        # width — chips divided by the tensor-parallel axis, since model
-        # shards share one batch slice (throughput scales with data width)
-        n_dev = cfg.TPU.MESH_DATA or len(jax.devices())
+        # width — model shards share one batch slice, so throughput (and
+        # the world-size rescale of batch/LR/schedule) scales with it
         cfg = auto_scale_workers(
-            cfg, max(1, n_dev // max(1, cfg.TPU.MESH_MODEL)))
+            cfg, cfg.TPU.MESH_DATA or max(
+                1, len(jax.devices()) // max(1, cfg.TPU.MESH_MODEL)))
         if not cfg.is_frozen():
             cfg.freeze()
         self.cfg = cfg
@@ -107,12 +107,18 @@ class ALDITrainer:
         self.state, self._tx = create_train_state(cfg, self.detector, init_key)
         self.step_fn = make_train_step(cfg, self.detector, self._tx)
 
-        n_mesh = cfg.TPU.MESH_DATA or len(jax.devices())
+        # MESH_DATA = data-axis width, MESH_MODEL = model-axis width;
+        # 0/unset data width means "all devices divided by the model width"
         n_model = max(1, cfg.TPU.MESH_MODEL)
+        n_data = cfg.TPU.MESH_DATA or max(1, len(jax.devices()) // n_model)
+        n_mesh = n_data * n_model
+        assert n_mesh <= len(jax.devices()), (
+            f"mesh {n_data} data x {n_model} model = {n_mesh} devices, but "
+            f"only {len(jax.devices())} are available"
+        )
         self.mesh = (make_mesh(n_mesh, n_model)
                      if n_mesh > 1 else None)
         if self.mesh is not None:
-            n_data = n_mesh // n_model
             for c, s in zip(cfg.DATASETS.BATCH_CONTENTS,
                             _stream_sizes(cfg)):
                 assert s % n_data == 0, (

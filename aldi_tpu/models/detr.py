@@ -314,6 +314,16 @@ class DeformableDETR(nn.Module):
             (self.n_levels, self.d_model),
         )
         if self.pos_embedding == "learned":
+            hh0, ww0 = spatial_shapes[0]
+            if hh0 > 50 or ww0 > 50:
+                # the official PositionEmbeddingLearned tables have exactly
+                # 50 rows/cols (it index-errors beyond that in torch too);
+                # fail with the actual constraint instead of an opaque
+                # concatenate shape error mid-trace
+                raise ValueError(
+                    f"POSITION_EMBEDDING='learned' supports level grids up "
+                    f"to 50x50 (official 50-entry tables); stride-8 level "
+                    f"is {hh0}x{ww0} — use a canvas <= 400px or 'sine'")
             row_embed = self.param(
                 "row_embed", nn.initializers.uniform(1.0),
                 (50, self.d_model // 2),

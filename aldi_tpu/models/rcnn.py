@@ -240,6 +240,20 @@ class RCNN(nn.Module):
         return [4, 8, 16, 32, 64]
 
 
+def _check_res5_dilation(cfg):
+    """RES5_DILATION is a C4/DC5-era knob: under an FPN it would leave res5
+    at stride 16 while pyramid_strides()/anchors/top-down 2x upsampling all
+    assume stride 32 — reject loudly instead of crashing at trace time (the
+    reference's shipped configs are all FPN at dilation 1 too)."""
+    d = cfg.MODEL.RESNETS.RES5_DILATION
+    if d != 1:
+        raise NotImplementedError(
+            f"MODEL.RESNETS.RES5_DILATION={d}: DC5 is not supported under "
+            "the FPN R-CNN family (the DETR family supports DC5 via "
+            "MODEL.DEFORMABLE_DETR.DILATION)")
+    return d
+
+
 class RCNNDetector:
     """Static config + pure-function orchestration around the RCNN module.
 
@@ -275,7 +289,7 @@ class RCNNDetector:
             depth=cfg.MODEL.RESNETS.DEPTH,
             freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
             stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
-            res5_dilation=cfg.MODEL.RESNETS.RES5_DILATION,
+            res5_dilation=_check_res5_dilation(cfg),
             convnext_depths=tuple(cfg.MODEL.CONVNEXT.DEPTHS),
             convnext_dims=tuple(cfg.MODEL.CONVNEXT.DIMS),
             convnext_drop_path=cfg.MODEL.CONVNEXT.DROP_PATH_RATE,

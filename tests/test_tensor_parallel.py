@@ -237,15 +237,25 @@ def test_tp_inference_matches_replicated():
             (images, sizes),
             jax.sharding.NamedSharding(mesh_tp, P("data")))))
 
-    boxes_dp, scores_dp, classes_dp, valid_dp = out_dp
-    boxes_tp, scores_tp, classes_tp, valid_tp = out_tp
-    np.testing.assert_array_equal(np.asarray(valid_dp),
-                                  np.asarray(valid_tp))
-    np.testing.assert_array_equal(np.asarray(classes_dp) * valid_dp,
-                                  np.asarray(classes_tp) * valid_tp)
-    np.testing.assert_allclose(
-        np.asarray(scores_dp) * valid_dp,
-        np.asarray(scores_tp) * valid_tp, rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(
-        np.asarray(boxes_dp) * valid_dp[..., None],
-        np.asarray(boxes_tp) * valid_tp[..., None], rtol=1e-3, atol=1e-3)
+    boxes_dp, scores_dp, classes_dp, valid_dp = map(np.asarray, out_dp)
+    boxes_tp, scores_tp, classes_tp, valid_tp = map(np.asarray, out_tp)
+    # not compared slot-by-slot: the box head runs through the TP-sharded
+    # matmuls and a score sitting exactly on the NMS/threshold boundary
+    # could flip a keep decision under reduction-order epsilons — compare
+    # the detection SETS per image (score-sorted) with small tolerances
+    for i in range(boxes_dp.shape[0]):
+        d, t = valid_dp[i].astype(bool), valid_tp[i].astype(bool)
+        assert abs(int(d.sum()) - int(t.sum())) <= 1, (
+            f"image {i}: {d.sum()} vs {t.sum()} detections")
+        n = min(int(d.sum()), int(t.sum()))
+        od = np.argsort(-scores_dp[i][d])[:n]
+        ot = np.argsort(-scores_tp[i][t])[:n]
+        np.testing.assert_allclose(
+            scores_dp[i][d][od], scores_tp[i][t][ot],
+            rtol=1e-4, atol=1e-5, err_msg=f"image {i} scores")
+        np.testing.assert_array_equal(
+            classes_dp[i][d][od], classes_tp[i][t][ot],
+            err_msg=f"image {i} classes")
+        np.testing.assert_allclose(
+            boxes_dp[i][d][od], boxes_tp[i][t][ot],
+            rtol=1e-3, atol=1e-3, err_msg=f"image {i} boxes")

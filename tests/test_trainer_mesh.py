@@ -17,7 +17,7 @@ def test_trainer_tp_mesh_train_checkpoint_resume(tmp_path):
     cfg.DATASETS.BATCH_CONTENTS = ("labeled_strong",)
     cfg.DATASETS.BATCH_RATIOS = (1,)
     cfg.EMA.ENABLED = True
-    cfg.TPU.MESH_DATA = 8
+    cfg.TPU.MESH_DATA = 4  # data WIDTH: 4 data x 2 model = 8 devices
     cfg.TPU.MESH_MODEL = 2
     cfg.SOLVER.IMS_PER_BATCH = 4  # divides the data-axis size 4
     cfg.freeze()
