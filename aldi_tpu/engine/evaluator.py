@@ -20,31 +20,40 @@ from ..data.loader import TestLoader
 from .coco_eval import evaluate_detections
 
 
+PACK_WIDTH = 8
+
+
 def pack_predictions(predictions: Dict[int, list]) -> "np.ndarray":
-    """Flatten per-image prediction dicts into fixed-width [N, 7] rows
-    (image_id | bbox xywh | score | category). Pure; unit-tested against
-    unpack as the round-trip under the multi-host gather."""
+    """Flatten per-image prediction dicts into fixed-width [N, 8] rows
+    (image_id hi | image_id lo | bbox xywh | score | category). The id is
+    split into two f32 columns (quotient/remainder by 2^20, each exact in
+    f32) because a single f32 only represents integers exactly up to 2^24
+    — large COCO-style ids would silently collide after the gather. Pure;
+    unit-tested against unpack as the round-trip under the multi-host
+    gather."""
     rows = [
-        [float(img_id), *d["bbox"], d["score"], float(d["category_id"])]
+        [float(int(img_id) // (1 << 20)), float(int(img_id) % (1 << 20)),
+         *d["bbox"], d["score"], float(d["category_id"])]
         for img_id, dets in predictions.items()
         for d in dets
     ]
-    return np.asarray(rows, np.float32).reshape(-1, 7)
+    return np.asarray(rows, np.float32).reshape(-1, PACK_WIDTH)
 
 
 def unpack_predictions(gathered: "np.ndarray",
                        counts: "np.ndarray") -> Dict[int, list]:
-    """Inverse of pack over a gathered [P, cap, 7] array with ragged
+    """Inverse of pack over a gathered [P, cap, 8] array with ragged
     per-process row counts [P]; padding rows beyond each count are
     ignored."""
     out = defaultdict(list)
     for p in range(gathered.shape[0]):
         for row in gathered[p, : int(counts[p])]:
-            out[int(row[0])].append(
+            img_id = int(row[0]) * (1 << 20) + int(row[1])
+            out[img_id].append(
                 {
-                    "bbox": [float(x) for x in row[1:5]],
-                    "score": float(row[5]),
-                    "category_id": int(row[6]),
+                    "bbox": [float(x) for x in row[2:6]],
+                    "score": float(row[6]),
+                    "category_id": int(row[7]),
                 }
             )
     return dict(out)
@@ -66,9 +75,9 @@ def gather_predictions(predictions: Dict[int, list]) -> Dict[int, list]:
     n = np.asarray([local.shape[0]], np.int32)
     n_all = multihost_utils.process_allgather(n).reshape(-1)
     cap = max(int(n_all.max()), 1)
-    padded = np.zeros((cap, 7), np.float32)
+    padded = np.zeros((cap, PACK_WIDTH), np.float32)
     padded[: local.shape[0]] = local
-    gathered = multihost_utils.process_allgather(padded)  # [P, cap, 7]
+    gathered = multihost_utils.process_allgather(padded)  # [P, cap, 8]
     return unpack_predictions(gathered, n_all)
 
 

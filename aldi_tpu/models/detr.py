@@ -444,7 +444,7 @@ class DeformableDETR(nn.Module):
             # -------- first stage: score every encoder token as a proposal
             # (gen_encoder_output_proposals semantics): per-level grid
             # centers in the valid region, wh = 0.05 * 2^lvl
-            prop_list, prop_valid_list = [], []
+            prop_list = []
             for lvl, (hh, ww) in enumerate(spatial_shapes):
                 vw = valid_ratios[:, lvl, 0:1] * ww  # [B, 1]
                 vh = valid_ratios[:, lvl, 1:2] * hh
@@ -598,7 +598,11 @@ def hungarian_match(
             box_ops.cxcywh_to_xyxy(pb), box_ops.cxcywh_to_xyxy(gb)
         )
         cost = cost_class * c_cls + cost_bbox * c_l1 + cost_giou * c_giou
-        cost = jnp.clip(jnp.nan_to_num(cost), -1e4, 1e4)
+        # NaN must stay repulsive (nan_to_num's default 0.0 is a
+        # competitive mid-range cost that would match a NaN query to a gt)
+        cost = jnp.clip(
+            jnp.nan_to_num(cost, nan=1e4, posinf=1e4, neginf=-1e4),
+            -1e4, 1e4)
         order = jnp.argsort(~gv)  # stable: valid gts first
         col4row = lapjv(cost.T[order], n_rows=gv.sum())
         q_sorted = jnp.maximum(col4row, 0)  # -1 (unsolved pad) -> 0

@@ -39,11 +39,11 @@ import jax
 import jax.numpy as jnp
 
 # Queries are processed in chunks of this size (lax.map) so the sampling
-# intermediates stay bounded. 512 measured fastest on v5e for both fwd and
-# fwd+bwd (73.7 ms fwd+grad at QC=256, 75.5 at 512, 87.4 at 1024, 104
-# unchunked, encoder shapes B=2 Lq=8500): small chunks keep the [Cq, 4D]
-# temporaries resident in VMEM across the remat recompute.
-QUERY_CHUNK = 512
+# intermediates stay bounded. v5e sweep at encoder shapes B=2 Lq=8500,
+# fwd+grad: 73.7 ms at QC=256, 75.5 at 512, 87.4 at 1024, 104 unchunked —
+# 256 measured fastest; small chunks keep the [Cq, 4D] temporaries
+# resident in VMEM across the remat recompute.
+QUERY_CHUNK = 256
 
 
 def ms_deform_attn_core(

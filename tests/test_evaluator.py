@@ -110,8 +110,8 @@ def test_gather_predictions_simulated_two_processes(monkeypatch):
     local = {1: [{"bbox": [1.0, 2.0, 3.0, 4.0], "score": 0.5,
                   "category_id": 2}]}
     other_rows = np.asarray(
-        [[7.0, 10.0, 20.0, 30.0, 40.0, 0.25, 1.0],
-         [1.0, 5.0, 6.0, 7.0, 8.0, 0.75, 0.0]], np.float32)
+        [[0.0, 7.0, 10.0, 20.0, 30.0, 40.0, 0.25, 1.0],
+         [0.0, 1.0, 5.0, 6.0, 7.0, 8.0, 0.75, 0.0]], np.float32)
 
     monkeypatch.setattr(_jax, "process_count", lambda: 2)
 
@@ -120,7 +120,7 @@ def test_gather_predictions_simulated_two_processes(monkeypatch):
         if x.ndim == 1:  # counts
             return np.stack([x, np.asarray([len(other_rows)], np.int32)])
         cap = x.shape[0]
-        padded = np.zeros((cap, 7), np.float32)
+        padded = np.zeros((cap, 8), np.float32)
         padded[: len(other_rows)] = other_rows[:cap]
         return np.stack([x, padded])
 
@@ -134,40 +134,49 @@ def test_gather_predictions_simulated_two_processes(monkeypatch):
 
 def test_pack_unpack_predictions_roundtrip():
     """The multi-host gather's pack/unpack round-trip over a synthetic
-    [P, cap, 7] gathered array with ragged per-process counts — the path
-    that never executes in single-process test runs."""
+    [P, cap, 8] gathered array with ragged per-process counts — the path
+    that never executes in single-process test runs. Includes an image id
+    above 2^24 (exact-integer limit of one f32): the two-column id split
+    must round-trip it exactly."""
     import numpy as np
 
     from aldi_tpu.engine.evaluator import (
         pack_predictions, unpack_predictions,
     )
 
+    big_id = 20000001  # f32(20000001) == f32(20000002) — collides unsplit
     preds_p0 = {
         7: [{"bbox": [1.0, 2.0, 3.0, 4.0], "score": 0.875, "category_id": 2}],
         9: [
             {"bbox": [0.0, 0.0, 5.0, 5.0], "score": 0.5, "category_id": 0},
             {"bbox": [2.0, 2.0, 2.0, 2.0], "score": 0.25, "category_id": 1},
         ],
+        big_id: [{"bbox": [3.0, 3.0, 2.0, 2.0], "score": 0.625,
+                  "category_id": 1}],
     }
     preds_p1 = {
         7: [{"bbox": [4.0, 4.0, 1.0, 1.0], "score": 0.75, "category_id": 2}],
+        big_id + 1: [{"bbox": [1.0, 1.0, 2.0, 2.0], "score": 0.375,
+                      "category_id": 0}],
     }
     preds_p2 = {}  # a process with zero predictions
 
     packs = [pack_predictions(p) for p in (preds_p0, preds_p1, preds_p2)]
     counts = np.asarray([p.shape[0] for p in packs], np.int32)
     cap = max(int(counts.max()), 1)
-    gathered = np.zeros((3, cap, 7), np.float32)
+    gathered = np.zeros((3, cap, 8), np.float32)
     # poison the padding rows: unpack must ignore them
     gathered[:, :, 0] = 12345.0
     for i, p in enumerate(packs):
         gathered[i, : p.shape[0]] = p
 
     out = unpack_predictions(gathered, counts)
-    assert set(out) == {7, 9}
+    assert set(out) == {7, 9, big_id, big_id + 1}
     assert len(out[7]) == 2 and len(out[9]) == 2
     scores7 = sorted(d["score"] for d in out[7])
     assert scores7 == [0.75, 0.875]
+    assert out[big_id][0]["score"] == 0.625
+    assert out[big_id + 1][0]["score"] == 0.375
     got = next(d for d in out[7] if d["score"] == 0.875)
     assert got["bbox"] == [1.0, 2.0, 3.0, 4.0] and got["category_id"] == 2
     assert 12345 not in out
