@@ -328,9 +328,14 @@ def get_default_cfg() -> CN:
     _C.TPU.MESH_DATA = 0
     # Model (tensor-parallel) axis width; must divide the device count.
     # >1 Megatron-shards the MLP/FFN expand/contract matmuls (ViT mlp_fc*,
-    # ConvNeXt pwconv*, DETR FFN linear*, box-head fc*) over the mesh's
-    # "model" axis — beyond the DP-only reference (SURVEY 2.6).
+    # ConvNeXt pwconv*, DETR FFN linear*, box-head fc*) and the ViT
+    # attention heads over the mesh's "model" axis — beyond the DP-only
+    # reference (SURVEY 2.6).
     _C.TPU.MESH_MODEL = 1
+    # ZeRO/FSDP-style sharding of params + optimizer moments + EMA over the
+    # DATA axis (largest divisible dim of every big leaf; GSPMD all-gathers
+    # weights at use and reduce-scatters grads). Composes with MESH_MODEL.
+    _C.TPU.FSDP = False
     # Gradient accumulation microbatches per step (lax.scan); the TPU
     # equivalent of the reference's SOLVER.IMS_PER_GPU chunking. Every
     # stream's per-step batch must divide evenly.

@@ -125,11 +125,14 @@ class ALDITrainer:
                     f"stream {c} batch {s} not divisible by data-axis size "
                     f"{n_data}; adjust SOLVER.IMS_PER_BATCH or TPU.MESH_*"
                 )
-            self.state = shard_state(self.state, self.mesh)
+            self.state = shard_state(self.state, self.mesh,
+                                     fsdp=cfg.TPU.FSDP)
             self.logger.info(
                 f"Mesh over {n_mesh} devices: data={n_data}"
                 + (f" x model={n_model} (Megatron MLP sharding)"
-                   if n_model > 1 else ""))
+                   if n_model > 1 else "")
+                + (" + FSDP weight/optimizer sharding"
+                   if cfg.TPU.FSDP else ""))
 
         self.loader = None  # built lazily (eval-only runs have no train data)
         self.checkpointer = Checkpointer(cfg.OUTPUT_DIR, self.logger)
@@ -153,7 +156,8 @@ class ALDITrainer:
                 self.checkpointer.load_extra().get("best_ap50", {})
             )
         if self.mesh is not None:
-            self.state = shard_state(self.state, self.mesh)
+            self.state = shard_state(self.state, self.mesh,
+                                     fsdp=self.cfg.TPU.FSDP)
 
     # --------------------------------------------------------------- train
     def train(self):

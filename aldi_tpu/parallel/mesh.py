@@ -90,16 +90,46 @@ def tp_spec(path, leaf, model_size: int):
     return P()
 
 
-def shard_state(tree, mesh: Mesh):
+# Leaves below this element count stay replicated under FSDP: sharding a
+# tiny bias trades an all-gather per use for a few KB of savings.
+_FSDP_MIN_ELEMS = 1 << 16
+
+
+def fsdp_spec(leaf, data_size: int):
+    """ZeRO-style spec: shard the largest divisible dim of a big leaf over
+    the ``data`` axis (GSPMD all-gathers the weight at each use and
+    reduce-scatters its gradient — the standard FSDP expression on TPU).
+    Returns P() for small or indivisible leaves."""
+    shape = getattr(leaf, "shape", ())
+    size = getattr(leaf, "size", 0)
+    if size < _FSDP_MIN_ELEMS:
+        return P()
+    best = -1
+    for i, d in enumerate(shape):
+        if d % data_size == 0 and (best < 0 or d > shape[best]):
+            best = i
+    if best < 0:
+        return P()
+    return P(*[("data" if i == best else None) for i in range(len(shape))])
+
+
+def shard_state(tree, mesh: Mesh, fsdp: bool = False):
     """Place a train-state pytree on the mesh: tensor-parallel leaves get
-    their Megatron spec, everything else is replicated. On a pure-DP mesh
-    this is exactly ``replicate``."""
-    if "model" not in mesh.axis_names:
+    their Megatron spec; with ``fsdp`` every other big leaf (params,
+    optimizer moments, EMA) is ZeRO-sharded over the data axis; the rest
+    is replicated. On a pure-DP mesh without fsdp this is exactly
+    ``replicate``."""
+    has_model = "model" in mesh.axis_names
+    if not has_model and not fsdp:
         return replicate(tree, mesh)
-    m = mesh.shape["model"]
+    m = mesh.shape["model"] if has_model else 1
+    d = mesh.shape["data"]
 
     def put(path, x):
-        return jax.device_put(x, NamedSharding(mesh, tp_spec(path, x, m)))
+        spec = tp_spec(path, x, m) if has_model else P()
+        if fsdp and spec == P():
+            spec = fsdp_spec(x, d)
+        return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(put, tree)
 
