@@ -206,6 +206,39 @@ def test_fsdp_step_matches_dp():
     assert worst < 1e-4, f"FSDP step diverged from DP step by {worst}"
 
 
+def test_fsdp_composes_with_tp():
+    """FSDP + MESH_MODEL together on the 4x2 mesh: TP leaves keep the
+    Megatron spec, other big leaves ZeRO-shard over data, and the step
+    still equals the replicated one (burn-in: no discrete teacher gates)."""
+    fresh_state, step_fn, batch = _setup(_tiny(daod=False))
+
+    mesh_dp = make_mesh(8)
+    s_dp = replicate(fresh_state(), mesh_dp)
+    out_dp, m_dp = step_fn(s_dp, shard_batch(batch, mesh_dp),
+                           jax.random.PRNGKey(1))
+
+    mesh = make_mesh(8, model_parallel=2)
+    s = shard_state(fresh_state(), mesh, fsdp=True)
+    flat = flatten_dict(s.params)
+    specs = {k: str(v.sharding.spec) for k, v in flat.items()}
+    assert any("model" in sp for sp in specs.values())
+    assert any("data" in sp for sp in specs.values())
+    # the box-head expand kernel keeps its TP spec (rule priority)
+    fc1 = [sp for k, sp in specs.items()
+           if k[-2:] == ("fc1", "kernel") and "box_head" in k]
+    assert fc1 and all("model" in sp for sp in fc1)
+    out, m = step_fn(s, shard_batch(batch, mesh), jax.random.PRNGKey(1))
+    np.testing.assert_allclose(
+        float(jax.device_get(m["total_loss"])),
+        float(jax.device_get(m_dp["total_loss"])), rtol=1e-5, atol=1e-5)
+    p_dp = flatten_dict(jax.device_get(out_dp.params))
+    p = flatten_dict(jax.device_get(out.params))
+    worst = max(
+        float(np.max(np.abs(np.asarray(p_dp[k]) - np.asarray(p[k]))))
+        for k in p_dp if np.asarray(p_dp[k]).dtype.kind == "f")
+    assert worst < 1e-4, f"FSDP+TP step diverged by {worst}"
+
+
 def test_tp_vit_attention_heads_sharded():
     """ViTDet under TP: the head-major qkv/proj DenseGeneral layouts take
     the model axis and a sharded forward still produces finite losses."""
