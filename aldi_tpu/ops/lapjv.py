@@ -110,7 +110,10 @@ def lapjv(cost, n_rows=None):
     if n > m:
         raise ValueError(f"lapjv requires n <= m, got {cost.shape}")
     cost = cost.astype(jnp.float32)
-    limit = jnp.asarray(n if n_rows is None else n_rows, jnp.int32)
+    # clamp the LIMIT, not the row index: a traced n_rows > n must stop at
+    # n, not re-augment row n-1 (which corrupts row4col/col4row state)
+    limit = jnp.minimum(
+        jnp.asarray(n if n_rows is None else n_rows, jnp.int32), n)
 
     def cond(carry):
         return carry[4] < limit
@@ -118,7 +121,7 @@ def lapjv(cost, n_rows=None):
     def body(carry):
         u, v, row4col, col4row, cur = carry
         u, v, row4col, col4row = _assign_one_row(
-            cost, u, v, row4col, col4row, jnp.minimum(cur, n - 1)
+            cost, u, v, row4col, col4row, cur
         )
         return (u, v, row4col, col4row, cur + 1)
 

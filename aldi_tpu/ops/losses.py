@@ -38,7 +38,7 @@ def softmax_cross_entropy(
     Returns per-row loss (no reduction).
     """
     log_probs = jax.nn.log_softmax(logits, axis=axis)
-    if targets.dtype in (jnp.int32, jnp.int64):
+    if jnp.issubdtype(targets.dtype, jnp.integer):
         return -jnp.take_along_axis(
             log_probs, targets[..., None].astype(jnp.int32), axis=axis
         ).squeeze(axis)

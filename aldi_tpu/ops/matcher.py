@@ -106,8 +106,12 @@ def subsample_indices(
     """
     pos_mask = (labels != -1) & (labels != bg_label)
     neg_mask = labels == bg_label
-    num_pos_max = max(int(num_samples * positive_fraction), 1)
-    num_pos = jnp.minimum(pos_mask.sum(), num_pos_max)
+    # D2 semantics: the positive cap is int(num*frac) — possibly 0 (e.g.
+    # tiny num_samples or positive_fraction=0). The static top-k width
+    # stays >= 1; the traced COUNT enforces the real cap.
+    num_pos_cap = int(num_samples * positive_fraction)
+    num_pos_max = max(num_pos_cap, 1)
+    num_pos = jnp.minimum(pos_mask.sum(), num_pos_cap)
     num_neg = jnp.minimum(neg_mask.sum(), num_samples - num_pos)
     kp, kn, kt = jax.random.split(key, 3)
 
@@ -156,10 +160,16 @@ def _sample_k_of_mask(key, mask: jnp.ndarray, k, k_max: int) -> jnp.ndarray:
     r = (jax.random.bits(key, mask.shape, jnp.uint32) >> 2).astype(jnp.int32)
     masked = jnp.where(mask, r, jnp.int32(0x7FFFFFFF))
     k_max = max(min(k_max, mask.shape[0]), 1)
-    # k_max smallest values, ascending
-    smallest = topk_smallest_with_idx(masked, k_max)[0]
-    thr = smallest[jnp.clip(k - 1, 0, k_max - 1)]
-    keep = mask & (masked <= thr)
+    # select by top-k SLOT, not by value threshold: with ~N/2^30 probability
+    # two keys collide at the k-th smallest value and `masked <= thr` would
+    # keep k+1 elements, silently breaking the at-most-k contract (and the
+    # fixed per-image loss normalizer) for that step
+    vals, idx = topk_smallest_with_idx(masked, k_max)
+    select = (jnp.arange(k_max) < k) & (vals < jnp.int32(0x7FFFFFFF))
+    # mode="drop": the segmented top-k's padding slots carry indices >= n
+    # (always with select=False, but clipping them to n-1 would make a
+    # duplicate-index scatter with nondeterministic write order)
+    keep = jnp.zeros(mask.shape, bool).at[idx].set(select, mode="drop")
     return keep & (k > 0)
 
 

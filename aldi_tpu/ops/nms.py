@@ -30,7 +30,10 @@ def nms_keep_mask(
     order (not sorted). boxes [N, 4], scores [N], valid [N]."""
     n = boxes.shape[0]
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
-    order = jnp.argsort(jnp.where(valid, scores, neg_inf))[::-1]
+    # stable DESCENDING sort: among tied scores the lower-index box must be
+    # processed (and kept) first, as in torchvision/detectron2 greedy NMS —
+    # reversing a stable ascending sort would invert that tie-break
+    order = jnp.argsort(-jnp.where(valid, scores, neg_inf))
     b = boxes[order]
     v = valid[order]
 

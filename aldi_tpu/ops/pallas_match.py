@@ -24,13 +24,15 @@ ROWS = 8  # anchor rows per grid step (ROWS*128 anchors); the [ROWS,128,128]
 # f32 IoU tile and its ~6 temporaries must fit VMEM (~0.5 MB each at 8)
 
 
-def _kernel(ax0, ay0, ax1, ay1, gt, gv, vals_ref, idx_ref, gtmax_ref):
-    # anchor tile [ROWS, 128]; gt [128, 4] f32; gv [128] via (1, 128)
+def _tile_iou(ax0, ay0, ax1, ay1, gt):
+    """[ROWS, 128] anchor coordinate planes x [128, 4] gt -> IoU tile
+    [ROWS, 128, 128]. SHARED between the matcher and the low-quality
+    kernels: low_quality_mask_pallas tests exact float equality against
+    maxima computed by the matcher, so both must run bit-identical math."""
     x0, y0, x1, y1 = ax0[...], ay0[...], ax1[...], ay1[...]
     area_a = (x1 - x0) * (y1 - y0)  # [R, 128]
 
     g = gt[...]  # [128, 4]
-    valid = gv[...]  # [1, 128]
     gx0 = g[:, 0][None, None, :]  # [1, 1, 128]
     gy0 = g[:, 1][None, None, :]
     gx1 = g[:, 2][None, None, :]
@@ -45,7 +47,13 @@ def _kernel(ax0, ay0, ax1, ay1, gt, gv, vals_ref, idx_ref, gtmax_ref):
     )
     inter = ix * iy  # [R, 128, 128]
     union = area_a[..., None] + area_g - inter
-    iou = jnp.where(union > 0, inter / union, 0.0)
+    return jnp.where(union > 0, inter / union, 0.0)
+
+
+def _kernel(ax0, ay0, ax1, ay1, gt, gv, vals_ref, idx_ref, gtmax_ref):
+    # anchor tile [ROWS, 128]; gt [128, 4] f32; gv [128] via (1, 128)
+    valid = gv[...]  # [1, 128]
+    iou = _tile_iou(ax0, ay0, ax1, ay1, gt)
     iou = jnp.where(valid[None, :, :] > 0, iou, -1.0)
 
     vals_ref[...] = iou.max(axis=-1)
@@ -119,25 +127,9 @@ def match_iou_pallas(
 
 
 def _lowq_kernel(ax0, ay0, ax1, ay1, gt, gv, best, out_ref):
-    x0, y0, x1, y1 = ax0[...], ay0[...], ax1[...], ay1[...]
-    area_a = (x1 - x0) * (y1 - y0)
-    g = gt[...]
     valid = gv[...]
     b = best[...]  # [1, 128]
-    gx0 = g[:, 0][None, None, :]
-    gy0 = g[:, 1][None, None, :]
-    gx1 = g[:, 2][None, None, :]
-    gy1 = g[:, 3][None, None, :]
-    area_g = (gx1 - gx0) * (gy1 - gy0)
-    ix = jnp.maximum(
-        jnp.minimum(x1[..., None], gx1) - jnp.maximum(x0[..., None], gx0), 0.0
-    )
-    iy = jnp.maximum(
-        jnp.minimum(y1[..., None], gy1) - jnp.maximum(y0[..., None], gy0), 0.0
-    )
-    inter = ix * iy
-    union = area_a[..., None] + area_g - inter
-    iou = jnp.where(union > 0, inter / union, 0.0)
+    iou = _tile_iou(ax0, ay0, ax1, ay1, gt)
     is_best = (
         (iou == b[None, :, :]) & (valid[None, :, :] > 0) & (b[None, :, :] > 0)
     )

@@ -34,6 +34,24 @@ def test_nms_matches_oracle():
         np.testing.assert_array_equal(got, want)
 
 
+def test_nms_tied_scores_keep_lower_index():
+    """Among EQUAL scores the lower-index box must be processed (and kept)
+    first — torchvision/detectron2 tie-break. Scores quantized to 3 levels
+    force heavy ties; a reversed-ascending sort inverts the tie-break and
+    keeps different boxes."""
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        n = 64
+        boxes = random_boxes(n, size=60, rng=rng)
+        scores = (rng.integers(0, 3, n) / 2.0).astype(np.float32)
+        valid = np.ones(n, bool)
+        got = np.asarray(
+            nms_keep_mask(jnp.asarray(boxes), jnp.asarray(scores),
+                          jnp.asarray(valid), 0.5))
+        want = greedy_nms_oracle(boxes, scores, valid, 0.5)
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
+
+
 def test_nms_chain_case():
     # a suppresses b, b suppresses c, a does not suppress c -> keep a and c
     boxes = jnp.asarray(
