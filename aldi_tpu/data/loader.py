@@ -157,10 +157,20 @@ class WeakStrongLoader:
         sizes = [int(total * r / sum(ratios)) for r in ratios]
         assert sum(sizes) == total, (sizes, total)
 
-        labeled_bs = max(
-            [s for c, s in zip(contents, sizes) if c.startswith("labeled")],
-            default=0,
-        )
+        labeled_sizes = [
+            s for c, s in zip(contents, sizes) if c.startswith("labeled")
+        ]
+        if len(set(labeled_sizes)) > 1:
+            # the weak and strong labeled views share ONE sampled batch
+            # (strong is derived on device from weak); unequal ratios would
+            # silently feed the smaller stream extra data and shift the
+            # reference's n_s/total loss weights — reject instead
+            raise ValueError(
+                f"labeled BATCH_RATIOS must be equal "
+                f"(got per-stream sizes {labeled_sizes}): the weak and "
+                f"strong labeled views are derived from one shared batch"
+            )
+        labeled_bs = max(labeled_sizes, default=0)
         unlabeled_bs = max(
             [s for c, s in zip(contents, sizes) if c.startswith("unlabeled")],
             default=0,

@@ -42,7 +42,10 @@ class Checkpointer:
         step = int(state.step)
         name = name or f"model_{step:07d}"
         path = os.path.join(self.dir, name)
-        self._ckptr.save(path, jax.device_get(state), force=True)
+        # hand orbax the jax.Arrays directly: under multi-host FSDP the
+        # state is not fully addressable per process, so device_get would
+        # raise; orbax handles sharded multihost saves natively
+        self._ckptr.save(path, state, force=True)
         if extra is not None:
             with open(os.path.join(path, "trainer_state.json"), "w") as f:
                 json.dump(extra, f)
@@ -73,8 +76,7 @@ class Checkpointer:
             return os.path.join(self.dir, f.read().strip())
 
     def load(self, path: str, target: TrainState) -> TrainState:
-        restored = self._ckptr.restore(path, item=jax.device_get(target))
-        return jax.tree_util.tree_map(lambda t, r: r, target, restored)
+        return self._ckptr.restore(path, item=jax.device_get(target))
 
     # ------------------------------------------------- reference interop
     def resume_or_load(
@@ -123,12 +125,23 @@ def load_reference_weights(
         )
         params = new_ema if new_ema is not None else new_params
         frozen = restored.frozen
+        # model_state (e.g. YOLO BatchNorm running stats) must come along —
+        # dropping it would hand the DA run randomly initialized BN stats
+        # while the torch .pth path maps them (burn-in -> DA handoff)
+        model_state = state.model_state
+        if state.model_state and restored.model_state:
+            model_state = restored.model_state
         return state.replace(
             params=params,
             frozen=frozen,
+            model_state=model_state,
             ema_params=(
                 jax.tree_util.tree_map(np.copy, params)
                 if state.ema_params is not None else None
+            ),
+            ema_model_state=(
+                jax.tree_util.tree_map(np.copy, model_state)
+                if state.ema_model_state is not None else None
             ),
         )
 
@@ -145,7 +158,7 @@ def load_reference_weights(
                 wrapped["ema"] = sd["ema"].float().state_dict()
             sd = wrapped
         if "model" in sd and isinstance(sd["model"], dict):
-            if load_from_ema and "ema" in sd:
+            if load_from_ema and isinstance(sd.get("ema"), dict):
                 # EMA entries are prefixed "model." (reference
                 # aldi/checkpoint.py:24-27)
                 ema = {

@@ -92,7 +92,13 @@ def inference_on_dataset(
     )
     md = MetadataCatalog.get(dataset_name)
 
-    fwd = jax.jit(detector.forward_inference)
+    # cache the jitted inference on the detector: a fresh jax.jit wrapper
+    # around a newly-bound method has an empty compilation cache, so every
+    # eval period (and every test dataset) would retrace + recompile
+    fwd = getattr(detector, "_jit_infer", None)
+    if fwd is None:
+        fwd = jax.jit(detector.forward_inference)
+        detector._jit_infer = fwd
 
     predictions = defaultdict(list)
     n_images = 0

@@ -89,12 +89,14 @@ class ALDITrainer:
     def __init__(self, cfg):
         self.logger = setup_logger(cfg.OUTPUT_DIR)
         maybe_init_distributed(self.logger)
-        # the reference's "world size" = #GPUs; ours = the DATA-parallel
-        # width — model shards share one batch slice, so throughput (and
-        # the world-size rescale of batch/LR/schedule) scales with it
-        cfg = auto_scale_workers(
-            cfg, cfg.TPU.MESH_DATA or max(
-                1, len(jax.devices()) // max(1, cfg.TPU.MESH_MODEL)))
+        # MESH_DATA = data-axis width, MESH_MODEL = model-axis width;
+        # 0/unset data width means "all devices divided by the model width".
+        # The reference's "world size" = #GPUs; ours = the data width —
+        # model shards share one batch slice, so throughput (and the
+        # world-size rescale of batch/LR/schedule) scales with it.
+        n_model = max(1, cfg.TPU.MESH_MODEL)
+        n_data = cfg.TPU.MESH_DATA or max(1, len(jax.devices()) // n_model)
+        cfg = auto_scale_workers(cfg, n_data)
         if not cfg.is_frozen():
             cfg.freeze()
         self.cfg = cfg
@@ -107,10 +109,6 @@ class ALDITrainer:
         self.state, self._tx = create_train_state(cfg, self.detector, init_key)
         self.step_fn = make_train_step(cfg, self.detector, self._tx)
 
-        # MESH_DATA = data-axis width, MESH_MODEL = model-axis width;
-        # 0/unset data width means "all devices divided by the model width"
-        n_model = max(1, cfg.TPU.MESH_MODEL)
-        n_data = cfg.TPU.MESH_DATA or max(1, len(jax.devices()) // n_model)
         n_mesh = n_data * n_model
         assert n_mesh <= len(jax.devices()), (
             f"mesh {n_data} data x {n_model} model = {n_mesh} devices, but "
@@ -180,6 +178,7 @@ class ALDITrainer:
         # a per-step time around the blocking device_get double-counts the
         # async dispatch pipeline and understates steady-state img/s
         win_t0, win_iters = time.time(), 0
+        evaluated_now, last_results = False, {}
         for it in range(start, max_iter):
             batch = next(self.loader)
             data_time = time.time() - data_t0
@@ -222,10 +221,15 @@ class ALDITrainer:
                 win_t0, win_iters = time.time(), 0
 
             next_it = it + 1
-            if cfg.TEST.EVAL_PERIOD and next_it % cfg.TEST.EVAL_PERIOD == 0:
-                self._eval_and_track_best()
+            evaluated_now = (
+                cfg.TEST.EVAL_PERIOD and next_it % cfg.TEST.EVAL_PERIOD == 0
+            )
+            if evaluated_now:
+                last_results = self._eval_and_track_best()
                 win_t0, win_iters = time.time(), 0  # exclude eval time
-            if next_it % cfg.SOLVER.CHECKPOINT_PERIOD == 0 or next_it == max_iter:
+            if (cfg.SOLVER.CHECKPOINT_PERIOD
+                    and next_it % cfg.SOLVER.CHECKPOINT_PERIOD == 0
+                    ) or next_it == max_iter:
                 self.checkpointer.save(
                     self.state, extra={"best_ap50": self._best}
                 )
@@ -233,6 +237,10 @@ class ALDITrainer:
             data_t0 = time.time()
 
         if cfg.TEST.EVAL_PERIOD:
+            # don't re-run the full inference pass when the loop's last
+            # iteration already evaluated (MAX_ITER % EVAL_PERIOD == 0)
+            if evaluated_now:
+                return last_results
             return self._eval_and_track_best()
         return {}
 
