@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import boxes as box_ops
+from ..ops.dispatch import target_backend
 from ..ops import matcher as matcher_ops
 from ..ops.losses import bce_with_logits, smooth_l1
 from ..ops.nms import nms_keep_mask, top_k_by_score
@@ -77,7 +78,7 @@ def label_anchors(
     # materializing the [765k, M] IoU matrix; batch is a static python loop
     # so the kernel is not vmapped
     use_pallas = (
-        jax.default_backend() == "tpu" and gt_boxes.shape[1] <= 128
+        target_backend() == "tpu" and gt_boxes.shape[1] <= 128
         and anchors.shape[0] >= 4096
     )
 
@@ -170,7 +171,7 @@ def label_anchors_sampled(
     batch_size_per_image, substrate semantics).
     """
     use_pallas = (
-        jax.default_backend() == "tpu" and gt_boxes.shape[1] <= 128
+        target_backend() == "tpu" and gt_boxes.shape[1] <= 128
         and anchors.shape[0] >= 4096
     )
     k = min(batch_size_per_image, anchors.shape[0])

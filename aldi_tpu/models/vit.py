@@ -19,6 +19,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.dispatch import target_backend
+
 
 def get_abs_pos(pos_embed: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
     """Interpolate [1, P, P, D] pretrain pos embeddings to (H, W)."""
@@ -94,7 +96,7 @@ class Attention(nn.Module):
                 flash_attention_relpos, supported_shape,
             )
 
-            if (jax.default_backend() == "tpu" and h * w >= 1024
+            if (target_backend() == "tpu" and h * w >= 1024
                     and supported_shape(h * w, w)):
                 # global blocks: Pallas kernel keeps the [N, N] rows in
                 # VMEM (the XLA path materializes 5+ [B, nh, N, N] f32

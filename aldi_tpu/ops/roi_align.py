@@ -38,6 +38,8 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
+from .dispatch import target_backend
+
 
 def assign_levels(
     boxes: jnp.ndarray,
@@ -173,7 +175,7 @@ def resolve_pool_mode(mode: str) -> str:
     only materializes if gradients actually flow."""
     if mode != "auto":
         return mode
-    return "pallas_fused" if jax.default_backend() == "tpu" \
+    return "pallas_fused" if target_backend() == "tpu" \
         else "corner_gather"
 
 

@@ -36,9 +36,15 @@ def run_row(family, mode="train", extra_env=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--families", default="rcnn,vitdet,convnext,yolo,detr")
+    ap.add_argument("--modes", default="train,infer",
+                    help="per-family rows to collect (train and/or infer)")
     ap.add_argument("--teacher", action="store_true", default=True)
+    ap.add_argument("--no-teacher", dest="teacher", action="store_false")
+    ap.add_argument("--no-loader", dest="loader", action="store_false",
+                    default=True)
     ap.add_argument("--out", default=os.path.join(ROOT, "BENCH_FAMILIES.json"))
     args = ap.parse_args()
+    modes = [m.strip() for m in args.modes.split(",") if m.strip()]
 
     # merge with any existing file so partial re-runs (e.g. one family)
     # never drop the other rows; rows are keyed by family/mode tag
@@ -67,26 +73,27 @@ def main():
         fam = fam.strip()
         if not fam:
             continue
-        print(f"== {fam} train step ==", flush=True)
-        rows.append({"tag": f"{fam}/train", **run_row(fam, "train")})
-        print(json.dumps(rows[-1]), flush=True)
-        for suffix, mode, env in extra_rows.get(fam, []):
-            print(f"== {fam} {suffix} ==", flush=True)
-            rows.append({"tag": f"{fam}/{suffix}", **run_row(fam, mode, env)})
+        for mode in modes:
+            print(f"== {fam} {mode} step ==", flush=True)
+            rows.append({"tag": f"{fam}/{mode}", **run_row(fam, mode)})
             print(json.dumps(rows[-1]), flush=True)
+        if "train" in modes:
+            for suffix, mode, env in extra_rows.get(fam, []):
+                print(f"== {fam} {suffix} ==", flush=True)
+                rows.append(
+                    {"tag": f"{fam}/{suffix}", **run_row(fam, mode, env)})
+                print(json.dumps(rows[-1]), flush=True)
     if args.teacher:
         print("== teacher latency (flagship) ==", flush=True)
         rows.append({"tag": "rcnn/teacher", **run_row("rcnn", "teacher")})
         print(json.dumps(rows[-1]), flush=True)
-    print("== inference throughput (flagship serving path) ==", flush=True)
-    rows.append({"tag": "rcnn/infer", **run_row("rcnn", "infer")})
-    print(json.dumps(rows[-1]), flush=True)
-    print("== host loader throughput ==", flush=True)
-    rows.append({
-        "tag": "host/loader",
-        **run_row("rcnn", "loader", {"BENCH_LOADER_THREADS": "1"}),
-    })
-    print(json.dumps(rows[-1]), flush=True)
+    if args.loader:
+        print("== host loader throughput ==", flush=True)
+        rows.append({
+            "tag": "host/loader",
+            **run_row("rcnn", "loader", {"BENCH_LOADER_THREADS": "1"}),
+        })
+        print(json.dumps(rows[-1]), flush=True)
 
     fresh = {r["tag"] for r in rows}
     keep = [r for r in old if r.get("tag") not in fresh]
