@@ -95,16 +95,22 @@ def save_artifact(path, blobs, det, cfg, batch_size):
         with open(os.path.join(path, _module_name(platform)), "wb") as f:
             f.write(blob)
     h, w = det.canvas
+    # The exported graph bakes in the detector's preprocess (mean/std in the
+    # configured channel order), so the serving host must feed pixels in
+    # cfg.INPUT.FORMAT — BGR for the default/flagship Caffe-style configs.
+    input_format = cfg.INPUT.FORMAT
     meta = {
         "format_version": _FORMAT_VERSION,
         "canvas": [int(h), int(w)],
         "batch_size": int(batch_size),
         "num_classes": int(det.num_classes),
         "meta_architecture": cfg.MODEL.META_ARCHITECTURE,
+        "input_format": input_format,
         "platforms": sorted(blobs),
         "inputs": {
             "images": {"shape": [batch_size, h, w, 3], "dtype": "float32",
-                       "note": "0-255 RGB, padded bottom/right to canvas"},
+                       "note": f"0-255 {input_format}, padded bottom/right "
+                               "to canvas"},
             "sizes": {"shape": [batch_size, 2], "dtype": "int32",
                       "note": "valid (h, w) per image before padding"},
         },
@@ -123,14 +129,17 @@ class ServingModel:
     """A loaded artifact: ``model(images, sizes) -> dict`` plus its meta."""
 
     def __init__(self, exported, meta, platform):
+        import jax
+
         self._exported = exported
         self.meta = meta
         self.platform = platform
+        # jit once: a per-call wrapper would retrace/recompile the whole
+        # serving module on every request
+        self._call = jax.jit(exported.call)
 
     def __call__(self, images, sizes):
-        import jax
-
-        return jax.jit(self._exported.call)(images, sizes)
+        return self._call(images, sizes)
 
 
 def load_artifact(path, platform=None):

@@ -11,26 +11,27 @@ consulting the live backend.
 """
 
 from contextlib import contextmanager
+from contextvars import ContextVar
 
 import jax
 
-_OVERRIDE = None
+# ContextVar (not a module global): the override scopes to the forcing
+# thread/context, so a concurrent trace elsewhere can't pick it up
+_OVERRIDE = ContextVar("aldi_tpu_backend_override", default=None)
 
 
 def target_backend() -> str:
     """The platform trace-time kernel dispatch should target: the
     ``force_backend`` override when active, else the live backend."""
-    return _OVERRIDE or jax.default_backend()
+    return _OVERRIDE.get() or jax.default_backend()
 
 
 @contextmanager
 def force_backend(platform: str):
     """Pin ``target_backend()`` to ``platform`` (e.g. while exporting a
     serving module for a platform other than the host's)."""
-    global _OVERRIDE
-    prev = _OVERRIDE
-    _OVERRIDE = platform
+    token = _OVERRIDE.set(platform)
     try:
         yield
     finally:
-        _OVERRIDE = prev
+        _OVERRIDE.reset(token)

@@ -35,9 +35,10 @@ def parse_args():
     p.add_argument("--platforms", default="cpu,tpu",
                    help="comma list of lowering targets")
     p.add_argument("--ema", action="store_true",
-                   help="export the EMA-teacher weights instead of the "
-                        "student (orbax checkpoints carry both; .pth "
-                        "fresh loads already prefer the EMA entries)")
+                   help="export the EMA-teacher weights; without this flag "
+                        "the student weights are exported (fresh loads are "
+                        "done with load_from_ema=--ema so the student is "
+                        "actually reachable in EMA-bearing checkpoints)")
     p.add_argument("--selftest", action="store_true",
                    help="reload the artifact and run one batch through it")
     p.add_argument("opts", nargs=argparse.REMAINDER,
@@ -67,8 +68,12 @@ def main():
     weights = cfg.MODEL.WEIGHTS if args.weights is None else args.weights
     if weights:
         ckptr = Checkpointer(cfg.OUTPUT_DIR)
-        state = ckptr.resume_or_load(state, weights, resume=False)
-        print(f"loaded weights from {weights}")
+        # load_from_ema follows --ema: the default (student) export must not
+        # silently receive EMA-preferred weights from a fresh load
+        state = ckptr.resume_or_load(state, weights, resume=False,
+                                     load_from_ema=args.ema)
+        print(f"loaded weights from {weights}"
+              + (" (EMA preferred)" if args.ema else " (student)"))
     else:
         print("exporting fresh-initialized weights (no --weights given)")
 
