@@ -25,6 +25,22 @@ _CKPT_RE = re.compile(r"^model_(\d+)$")
 _LAST = "last_checkpoint"
 
 
+def _restore_as_numpy(ckptr, path, target):
+    """Restore a pytree checkpoint as host numpy arrays.
+
+    Checkpoints written from jax.Arrays on backends whose shardings do not
+    round-trip through orbax metadata (e.g. the axon TPU tunnel) cannot be
+    deserialized back to jax.Array ("Sharding of jax.Array cannot be
+    None"); numpy restore side-steps that and the trainer re-places arrays
+    on device at first use. Single-host semantics — a future multi-host
+    FSDP restore should pass explicit shardings instead."""
+    item = jax.device_get(target)
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), item
+    )
+    return ckptr.restore(path, item=item, restore_args=restore_args)
+
+
 class Checkpointer:
     def __init__(self, output_dir: str, logger=None):
         self.dir = os.path.abspath(output_dir)
@@ -76,7 +92,7 @@ class Checkpointer:
             return os.path.join(self.dir, f.read().strip())
 
     def load(self, path: str, target: TrainState) -> TrainState:
-        return self._ckptr.restore(path, item=jax.device_get(target))
+        return _restore_as_numpy(self._ckptr, path, target)
 
     # ------------------------------------------------- reference interop
     def resume_or_load(
@@ -116,7 +132,7 @@ def load_reference_weights(
 
     if os.path.isdir(path):  # native checkpoint dir: model weights only
         ckptr = ocp.PyTreeCheckpointer()
-        restored = ckptr.restore(path, item=jax.device_get(state))
+        restored = _restore_as_numpy(ckptr, path, state)
         new_params = restored.params
         new_ema = (
             restored.ema_params

@@ -1,0 +1,177 @@
+#!/usr/bin/env python3
+"""End-to-end DAOD efficacy experiment on the synthetic domain-shift
+benchmark, run through the real CLI (``tools/train_net.py``).
+
+The reference's core claim is that ALDI++ improves target-domain AP over
+source-only training (``/root/reference/README.md:89-93``), via the
+burn-in -> DA protocol (``/root/reference/docs/TRAINING.md:11-25``).
+Real-data AP parity is impossible offline; this experiment is the strongest
+offline substitute: a controlled synthetic source->target shift
+(tests/shift_benchmark.py, fog+blur+color-cast — the synthetic analog of
+Cityscapes->Foggy) run through the exact reference protocol:
+
+per seed:
+  arm A  source-only: train Base-RCNN-FPN-Shift.yaml for 800 iters on
+         labeled source (strong aug + EMA). Its 400-iter checkpoint doubles
+         as the DA burn-in init; its 800-iter endpoint is the
+         equal-compute source-only control.
+  arm B  ALDI++: ALDI-Shift.yaml from the 400-iter burn-in checkpoint
+         (EMA handoff, reference aldi/checkpoint.py:18-32), 400 DA iters
+         on source + unlabeled target.
+  arm C  no-distill ablation: arm B with every distillation loss disabled
+         (the unlabeled stream then contributes nothing — continued source
+         training at DA hyperparameters).
+
+All numbers are teacher-EMA AP50 on shift_tgt_val (the target domain), with
+shift_src_val tracked as a sanity column. Results -> EFFICACY.json, asserted
+by tests/test_efficacy.py: DA beats source-only by a clear margin on every
+seed, and ablating distillation shrinks the gain.
+"""
+
+import argparse
+import importlib.util
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE_CFG = os.path.join(REPO, "configs", "synthetic",
+                        "Base-RCNN-FPN-Shift.yaml")
+ALDI_CFG = os.path.join(REPO, "configs", "synthetic", "ALDI-Shift.yaml")
+
+NO_DISTILL_OPTS = [
+    "DOMAIN_ADAPT.DISTILL.ROIH_CLS_ENABLED", "False",
+    "DOMAIN_ADAPT.DISTILL.ROIH_REG_ENABLED", "False",
+    "DOMAIN_ADAPT.DISTILL.OBJ_ENABLED", "False",
+    "DOMAIN_ADAPT.DISTILL.RPN_REG_ENABLED", "False",
+]
+
+
+def _train_net():
+    spec = importlib.util.spec_from_file_location(
+        "train_net", os.path.join(REPO, "tools", "train_net.py"))
+    tn = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tn)
+    return tn
+
+
+def run_cli(tn, config_file, opts, eval_only=False, resume=False):
+    """One tools/train_net.py invocation (the real CLI path, in-process)."""
+    argv = ["--config-file", config_file]
+    if eval_only:
+        argv.append("--eval-only")
+    if resume:
+        argv.append("--resume")
+    argv += [str(o) for o in opts]
+    args = tn.default_argument_parser().parse_args(argv)
+    return tn.main(args)
+
+
+def _ap50s(results):
+    return {ds: round(float(r["bbox/AP50"]), 2) for ds, r in results.items()}
+
+
+def run_seed(tn, seed, out_root):
+    t0 = time.time()
+    res = {}
+    base_out = os.path.join(out_root, f"base_s{seed}")
+    aldi_out = os.path.join(out_root, f"aldi_s{seed}")
+    nodistill_out = os.path.join(out_root, f"nodistill_s{seed}")
+    burnin_ckpt = os.path.join(base_out, "model_0000400")
+    common = ["SEED", seed]
+
+    # arm A: source-only 800 iters (400-iter ckpt = burn-in init)
+    run_cli(tn, BASE_CFG, common + ["OUTPUT_DIR", base_out])
+    res["source_only"] = _ap50s(run_cli(
+        tn, BASE_CFG, common + ["OUTPUT_DIR", base_out],
+        eval_only=True, resume=True))
+
+    # burn-in (400 iters) evaluated on its own: the DA starting point
+    res["burnin"] = _ap50s(run_cli(
+        tn, BASE_CFG,
+        common + ["OUTPUT_DIR", os.path.join(out_root, f"evalburn_s{seed}"),
+                  "MODEL.WEIGHTS", burnin_ckpt],
+        eval_only=True))
+
+    # arm B: ALDI++ DA from the burn-in checkpoint (EMA handoff)
+    run_cli(tn, ALDI_CFG, common + ["OUTPUT_DIR", aldi_out,
+                                    "MODEL.WEIGHTS", burnin_ckpt])
+    res["aldi"] = _ap50s(run_cli(
+        tn, ALDI_CFG, common + ["OUTPUT_DIR", aldi_out,
+                                "MODEL.WEIGHTS", burnin_ckpt],
+        eval_only=True, resume=True))
+
+    # arm C: distillation ablated
+    nd = common + ["OUTPUT_DIR", nodistill_out,
+                   "MODEL.WEIGHTS", burnin_ckpt] + NO_DISTILL_OPTS
+    run_cli(tn, ALDI_CFG, nd)
+    res["no_distill"] = _ap50s(run_cli(tn, ALDI_CFG, nd, eval_only=True,
+                                       resume=True))
+
+    res["wall_s"] = round(time.time() - t0, 1)
+    return res
+
+
+def main():
+    p = argparse.ArgumentParser(description="DAOD efficacy experiment")
+    p.add_argument("--seeds", default="0,1")
+    p.add_argument("--data-root", default="/tmp/aldi_shift/data")
+    p.add_argument("--out-root", default="/tmp/aldi_shift/out")
+    p.add_argument("--report", default=os.path.join(REPO, "EFFICACY.json"))
+    args = p.parse_args()
+
+    from tests.shift_benchmark import SHIFT, SPLITS, register_shift_benchmark
+
+    register_shift_benchmark(args.data_root)
+    tn = _train_net()
+
+    seeds = [int(s) for s in args.seeds.split(",")]
+    per_seed = {}
+    for s in seeds:
+        per_seed[str(s)] = run_seed(tn, s, args.out_root)
+        print(f"seed {s}: {json.dumps(per_seed[str(s)])}", flush=True)
+
+    tgt = "shift_tgt_val"
+    gains = [per_seed[str(s)]["aldi"][tgt]
+             - per_seed[str(s)]["source_only"][tgt] for s in seeds]
+    nd_gains = [per_seed[str(s)]["no_distill"][tgt]
+                - per_seed[str(s)]["source_only"][tgt] for s in seeds]
+    report = {
+        "benchmark": "synthetic shift (fog+blur+color-cast), "
+                     "tests/shift_benchmark.py",
+        "protocol": "burn-in 400 -> {source-only +400 | ALDI++ 400 | "
+                    "no-distill 400}; teacher-EMA AP50 on shift_tgt_val",
+        "configs": ["configs/synthetic/Base-RCNN-FPN-Shift.yaml",
+                    "configs/synthetic/ALDI-Shift.yaml"],
+        "shift_params": SHIFT,
+        "splits": {k: v[0] for k, v in SPLITS.items()},
+        "jax_backend": _backend(),
+        "per_seed": per_seed,
+        "target_ap50_gain_aldi_vs_source_only": [round(g, 2) for g in gains],
+        "target_ap50_gain_no_distill": [round(g, 2) for g in nd_gains],
+        "mean_gain_aldi": round(sum(gains) / len(gains), 2),
+        "mean_gain_no_distill": round(sum(nd_gains) / len(nd_gains), 2),
+    }
+    with open(args.report, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({k: report[k] for k in (
+        "target_ap50_gain_aldi_vs_source_only",
+        "target_ap50_gain_no_distill",
+        "mean_gain_aldi", "mean_gain_no_distill")}, indent=1))
+    print(f"wrote {args.report}")
+
+
+def _backend():
+    import jax
+
+    return jax.default_backend()
+
+
+if __name__ == "__main__":
+    main()
