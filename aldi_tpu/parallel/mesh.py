@@ -32,7 +32,15 @@ def make_mesh(n_devices: Optional[int] = None,
               model_parallel: int = 1) -> Mesh:
     n = n_devices or len(jax.devices())
     if model_parallel <= 1:
-        devices = mesh_utils.create_device_mesh((n,))
+        if n < len(jax.devices()):
+            # subset mesh (e.g. a 1-device control run next to an n-device
+            # run in the same process): create_device_mesh requires using
+            # every device, so slice the device list directly
+            import numpy as np
+
+            devices = np.asarray(jax.devices()[:n])
+        else:
+            devices = mesh_utils.create_device_mesh((n,))
         return Mesh(devices, ("data",))
     if n % model_parallel:
         raise ValueError(

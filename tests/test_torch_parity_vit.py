@@ -109,6 +109,60 @@ def test_vit_trunk_forward_matches_torch(converted_trunk):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_vit_l_forward_matches_torch():
+    """ViT-L parity at the REAL L geometry: depth 24, embed 1024, heads 16,
+    window 14, global-attention blocks (5, 11, 17, 23) — the reference's
+    ``build_vitdet_l_backbone`` overrides (``aldi/backbone.py:50-58``,
+    matched by ``models/vit.py::VIT_CONFIGS['l']``). Run at 224x224 (14x14
+    token grid == pretrain grid: no pos-embed interpolation, and the global
+    blocks' rel-pos tables index the full grid as in a real L checkpoint)."""
+    from aldi_tpu.models.vit import VIT_CONFIGS
+
+    lcfg = VIT_CONFIGS["l"]
+    assert lcfg["depth"] == 24 and lcfg["embed_dim"] == 1024
+    assert lcfg["num_heads"] == 16
+    assert tuple(lcfg["global_blocks"]) == (5, 11, 17, 23)
+    img = 224
+    root = randomize(
+        build_vit_trunk(
+            lcfg["embed_dim"], lcfg["depth"], lcfg["num_heads"], 16,
+            window_size=14, global_blocks=tuple(lcfg["global_blocks"]),
+            pretrain_grid=img // 16, use_cls_token=True,
+        ),
+        seed=11,
+    )
+    assert set(root.state_dict()) == golden_d2_vit_names(lcfg["depth"])
+    vit = ViT(
+        embed_dim=lcfg["embed_dim"], depth=lcfg["depth"],
+        num_heads=lcfg["num_heads"], patch_size=16, window_size=14,
+        global_blocks=tuple(lcfg["global_blocks"]), drop_path_rate=0.0,
+        pretrain_img_size=img, use_act_checkpoint=False,
+    )
+    x0 = jnp.zeros((1, img, img, 3), jnp.float32)
+    variables = jax.jit(vit.init)(jax.random.PRNGKey(0), x0)
+    params = jax.device_get(variables["params"])
+    produced = {
+        _torch_name_for(p, "params") for p in flatten_dict({"backbone": params})
+    }
+    assert produced == golden_d2_vit_names(lcfg["depth"])
+    new_params, _ = torch_state_dict_to_tree(
+        root.state_dict(), {"backbone": params}, {})
+    flat_new = flatten_dict(new_params["backbone"])
+    flat_old = flatten_dict(params)
+    untouched = [
+        "/".join(p) for p in flat_new
+        if np.array_equal(np.asarray(flat_new[p]), np.asarray(flat_old[p]))
+    ]
+    assert not untouched, f"leaves not loaded: {untouched}"
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(1, img, img, 3)).astype(np.float32)
+    want = vit_forward(root, torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+    got = np.asarray(
+        jax.jit(lambda v, x: vit.apply(v, x, False))(
+            {"params": new_params["backbone"]}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
 def test_sfp_forward_matches_torch():
     root = randomize(build_sfp(DIM, out_channels=16), seed=9)
     assert set(root.state_dict()) == golden_d2_sfp_names()
