@@ -179,6 +179,18 @@ def resolve_pool_mode(mode: str) -> str:
         else "corner_gather"
 
 
+def _auto_safe_mode(mode: str, resolved: str, channels: int) -> str:
+    """Mosaic's fine-path reshape ([CY, CX, C] -> [CY, CX*C]) only lowers
+    when C is a multiple of the 128-lane tile (production FPN C=256 is);
+    for unaligned C the "auto" choice falls back to the XLA path instead
+    of failing at compile. An EXPLICIT pallas request is honored as-is
+    (tests run unaligned C in interpret mode)."""
+    if (mode == "auto" and resolved.startswith("pallas")
+            and channels % 128 != 0):
+        return "corner_gather"
+    return resolved
+
+
 def roi_align(
     features: Sequence[jnp.ndarray],
     boxes: jnp.ndarray,
@@ -202,7 +214,8 @@ def roi_align(
 
     Returns [P, output_size, output_size, C].
     """
-    mode = resolve_pool_mode(mode)
+    mode = _auto_safe_mode(mode, resolve_pool_mode(mode),
+                           int(features[0].shape[-1]))
 
     if mode == "pallas":
         from .pallas_roi_align import roi_align_pallas
@@ -436,7 +449,8 @@ def roi_align_batched(features, boxes, box_valid, strides, output_size=7,
     pallas modes fold the batch into the kernel grid (one pallas_call per
     level for the whole batch — compile time and HLO size no longer grow
     with B)."""
-    mode = resolve_pool_mode(mode)
+    mode = _auto_safe_mode(mode, resolve_pool_mode(mode),
+                           int(features[0].shape[-1]))
     if mode in ("pallas", "pallas_fused"):
         from .pallas_roi_align import roi_align_pallas_batched
 

@@ -308,3 +308,25 @@ def test_pallas_fused_batched_grads_match_xla():
     for a, c in zip(g_ref, g_pal):
         np.testing.assert_allclose(np.asarray(c), np.asarray(a),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_auto_mode_guards_unaligned_channels():
+    """"auto" only picks the Pallas kernels when C is a 128-lane multiple:
+    Mosaic cannot lower the fine-path [CY, CX, C] -> [CY, CX*C] reshape for
+    unaligned C (caught by the bench kernels smoke on real hardware), so
+    auto falls back to corner_gather instead of failing at compile.
+    Explicit pallas requests are honored unchanged."""
+    from aldi_tpu.ops.dispatch import force_backend
+    from aldi_tpu.ops.roi_align import _auto_safe_mode, resolve_pool_mode
+
+    with force_backend("tpu"):
+        resolved = resolve_pool_mode("auto")
+        assert resolved == "pallas_fused"
+        assert _auto_safe_mode("auto", resolved, 256) == "pallas_fused"
+        assert _auto_safe_mode("auto", resolved, 32) == "corner_gather"
+        # explicit request: caller asked for the kernel, keep it
+        assert _auto_safe_mode("pallas_fused", "pallas_fused", 32) \
+            == "pallas_fused"
+    with force_backend("cpu"):
+        assert _auto_safe_mode("auto", resolve_pool_mode("auto"), 32) \
+            == "corner_gather"
