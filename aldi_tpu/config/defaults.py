@@ -200,6 +200,12 @@ def get_default_cfg() -> CN:
     _C.DATASETS = CN()
     _C.DATASETS.TRAIN = tuple()
     _C.DATASETS.TEST = tuple()
+    # precomputed proposals (substrate parity; consumed when
+    # MODEL.LOAD_PROPOSALS — see data/proposals.py)
+    _C.DATASETS.PROPOSAL_FILES_TRAIN = tuple()
+    _C.DATASETS.PROPOSAL_FILES_TEST = tuple()
+    _C.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TRAIN = 2000
+    _C.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TEST = 1000
     # DA additions (reference aldi/config.py:10-13)
     _C.DATASETS.UNLABELED = tuple()
     _C.DATASETS.BATCH_CONTENTS = ("labeled_weak",)

@@ -26,10 +26,16 @@ from .coco import filter_empty
 from .transforms import transform_record
 
 
-def get_dataset_records(names, filter_empty_annotations=True) -> List[dict]:
+def get_dataset_records(names, filter_empty_annotations=True,
+                        proposal_files=None) -> List[dict]:
     records = []
-    for name in names:
-        records.extend(DatasetCatalog.get(name))
+    for i, name in enumerate(names):
+        recs = DatasetCatalog.get(name)
+        if proposal_files is not None and proposal_files[i]:
+            from .proposals import load_proposals_into_dataset
+
+            recs = load_proposals_into_dataset(recs, proposal_files[i])
+        records.extend(recs)
     if filter_empty_annotations:
         records = filter_empty(records)
     assert records, f"no records for datasets {names}"
@@ -74,6 +80,11 @@ class StreamLoader:
                 "size": list(cfg.INPUT.CROP.SIZE),
             },
             is_train=is_train,
+            proposal_topk=(
+                int(cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TRAIN if is_train
+                    else cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TEST)
+                if cfg.MODEL.LOAD_PROPOSALS else 0
+            ),
         )
         self._pool = ThreadPoolExecutor(max_workers=num_threads)
         self._next_submit = 0
@@ -106,10 +117,10 @@ class StreamLoader:
             transform_record(self.records[i], rng, **self.tf_params)
             for i in idxs
         ]
-        return {
-            k: np.stack([r[k] for r in recs])
-            for k in ("image", "sizes", "boxes", "classes", "valid")
-        }
+        keys = ["image", "sizes", "boxes", "classes", "valid"]
+        if "pboxes" in recs[0]:  # precomputed proposals (MODEL.LOAD_PROPOSALS)
+            keys += ["pboxes", "plogits", "pvalid"]
+        return {k: np.stack([r[k] for r in recs]) for k in keys}
 
     def __iter__(self):
         return self
@@ -177,11 +188,16 @@ class WeakStrongLoader:
         )
         threads = num_threads or cfg.TPU.DATA_THREADS
 
+        from .proposals import proposal_files_for
+
         self.labeled = None
         if labeled_bs > 0 and len(cfg.DATASETS.TRAIN):
             self.labeled = StreamLoader(
                 get_dataset_records(
-                    cfg.DATASETS.TRAIN, cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS
+                    cfg.DATASETS.TRAIN, cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS,
+                    proposal_files=proposal_files_for(
+                        cfg, cfg.DATASETS.TRAIN, train=True
+                    ),
                 ),
                 labeled_bs, cfg, canvas, True, seed, threads,
                 cfg.TPU.PREFETCH,
@@ -237,6 +253,20 @@ class TestLoader:
     def __init__(self, dataset_name: str, cfg, canvas, batch_size: int = 8,
                  shard=None):
         self.records = DatasetCatalog.get(dataset_name)
+        self.proposal_topk = 0
+        if cfg.MODEL.LOAD_PROPOSALS and dataset_name in cfg.DATASETS.TEST:
+            from .proposals import proposal_files_for
+
+            pf = proposal_files_for(cfg, cfg.DATASETS.TEST, train=False)[
+                list(cfg.DATASETS.TEST).index(dataset_name)
+            ]
+            if pf:
+                from .proposals import load_proposals_into_dataset
+
+                self.records = load_proposals_into_dataset(self.records, pf)
+                self.proposal_topk = int(
+                    cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TEST
+                )
         if shard is not None:
             # (rank, world): strided test-set shard for multi-host eval —
             # each process scores its slice, predictions are gathered before
@@ -264,14 +294,15 @@ class TestLoader:
                     max_gt=self.cfg.TPU.MAX_GT,
                     bgr=self.cfg.INPUT.FORMAT.upper() == "BGR",
                     is_train=False,
+                    proposal_topk=self.proposal_topk,
                 )
                 for r in chunk
             ]
             npad = bs - len(recs)
-            batch = {
-                k: np.stack([r[k] for r in recs])
-                for k in ("image", "sizes")
-            }
+            keys = ["image", "sizes"]
+            if "pboxes" in recs[0]:
+                keys += ["pboxes", "pvalid"]
+            batch = {k: np.stack([r[k] for r in recs]) for k in keys}
             if npad:
                 batch = {
                     k: np.concatenate(

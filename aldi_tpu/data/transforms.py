@@ -107,17 +107,33 @@ def transform_record(
     bgr: bool = True,
     crop: dict = None,
     is_train: bool = True,
+    proposal_topk: int = 0,
 ):
     """record (COCO dict) -> dict of fixed-shape numpy arrays.
 
     Returns {image uint8 [H,W,3], sizes [2], boxes [G,4], classes [G],
-    valid [G], image_id, scale}.
+    valid [G], image_id, scale}; with ``proposal_topk > 0`` and a record
+    carrying precomputed proposals, also {pboxes [K,4], plogits [K],
+    pvalid [K]} (substrate ``transform_proposals`` — see data/proposals.py).
     """
     anns_src = [
         a for a in record.get("annotations", [])
         if not a["iscrowd"] and not a.get("ignore", 0)
     ]
     do_crop = bool(is_train and crop and crop.get("enabled"))
+    with_props = proposal_topk > 0 and "proposal_boxes" in record
+
+    def _proposal_arrays(scale, do_flip, w, h, crop_offset=None,
+                         crop_wh=None):
+        from .proposals import transform_proposals
+
+        pb, pl, pv = transform_proposals(
+            record["proposal_boxes"],
+            record["proposal_objectness_logits"],
+            scale, do_flip, w, h, proposal_topk,
+            crop_offset=crop_offset, crop_wh=crop_wh,
+        )
+        return {"pboxes": pb, "plogits": pl, "pvalid": pv}
 
     if is_train and sampling == "range" and len(min_sizes) == 2:
         short = int(rng.integers(min_sizes[0], min_sizes[1] + 1))
@@ -137,7 +153,7 @@ def transform_record(
         boxes, classes, valid = _boxes_to_arrays(
             anns_src, scale, max_gt, do_flip, w, h
         )
-        return {
+        out = {
             "image": out_img,
             "sizes": np.asarray([h, w], np.int32),
             "boxes": boxes,
@@ -146,13 +162,18 @@ def transform_record(
             "image_id": record["image_id"],
             "scale": scale,
         }
+        if with_props:
+            out.update(_proposal_arrays(scale, do_flip, w, h))
+        return out
 
     img = Image.open(record["file_name"])
     img = img.convert("RGB")
+    crop_offset = crop_wh = None
     if do_crop:
-        img, _, anns_src = _random_crop(
+        img, crop_offset, anns_src = _random_crop(
             img, anns_src, rng, crop["type"], crop["size"]
         )
+        crop_wh = img.size
     img, scale = resize_shortest_edge(img, short, max_size)
     w, h = img.size
 
@@ -173,7 +194,7 @@ def transform_record(
     out_img = np.zeros((ch, cw, 3), np.uint8)
     out_img[:h, :w] = arr
 
-    return {
+    out = {
         "image": out_img,
         "sizes": np.asarray([h, w], np.int32),
         "boxes": boxes,
@@ -182,3 +203,8 @@ def transform_record(
         "image_id": record["image_id"],
         "scale": scale,
     }
+    if with_props:
+        out.update(_proposal_arrays(scale, do_flip, w, h,
+                                    crop_offset=crop_offset,
+                                    crop_wh=crop_wh))
+    return out

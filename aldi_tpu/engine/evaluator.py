@@ -104,8 +104,12 @@ def inference_on_dataset(
     n_images = 0
     t0 = time.time()
     for batch, metas in loader:
+        pre_kw = {}
+        if "pboxes" in batch:  # MODEL.LOAD_PROPOSALS (Fast-R-CNN inference)
+            pre_kw = {"precomputed": {"boxes": batch["pboxes"],
+                                      "valid": batch["pvalid"]}}
         boxes, scores, classes, valid = jax.device_get(
-            fwd(variables, batch["image"], batch["sizes"])
+            fwd(variables, batch["image"], batch["sizes"], **pre_kw)
         )
         for i, meta in enumerate(metas):
             s = meta["scale"]

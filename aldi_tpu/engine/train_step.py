@@ -114,6 +114,15 @@ def make_train_step(cfg, detector, tx):
     do_soft = any([d.ROIH_CLS_ENABLED, d.ROIH_REG_ENABLED, d.OBJ_ENABLED,
                    d.RPN_REG_ENABLED])
     do_distill = has_unlabeled and (do_hard or do_soft)
+    if cfg.MODEL.LOAD_PROPOSALS and (do_align or do_distill):
+        # D2's PrecomputedProposals generator replaces the RPN outright; the
+        # DA streams (pseudo-labeling, alignment) need live proposals on
+        # unlabeled images, which no proposal file covers. The reference
+        # never combines them either — reject loudly.
+        raise NotImplementedError(
+            "MODEL.LOAD_PROPOSALS is supervised-only (Fast-R-CNN training); "
+            "disable DOMAIN_ADAPT align/distill streams"
+        )
     use_ema = cfg.EMA.ENABLED
     max_gt = cfg.TPU.MAX_GT
     threshold = cfg.DOMAIN_ADAPT.TEACHER.THRESHOLD
@@ -207,11 +216,22 @@ def make_train_step(cfg, detector, tx):
                 if mut:
                     model_state = jax.lax.stop_gradient(mut)
 
+            # precomputed proposals ride the labeled batch when
+            # MODEL.LOAD_PROPOSALS (Fast-R-CNN training; the DA streams are
+            # gated off below — the reference never combines them either)
+            lab_pre_kw = {}
+            if micro["lab"] is not None and "pboxes" in micro["lab"]:
+                lab_pre_kw = {"precomputed": {
+                    "boxes": micro["lab"]["pboxes"],
+                    "valid": micro["lab"]["pvalid"],
+                }}
+
             if do_weak and "weak" in streams:
                 losses, aux = detector.forward_train(
                     variables(), micro["lab"]["image"], micro["lab"]["sizes"],
                     _gt_from_batch(micro["lab"]),
                     mkeys[0], do_align=do_align, domain_label=1.0,
+                    **lab_pre_kw,
                 )
                 absorb(aux)
                 add(losses, "source_weak", n_lw / n_eff)
@@ -221,6 +241,7 @@ def make_train_step(cfg, detector, tx):
                     variables(), micro["ls_images"], micro["lab"]["sizes"],
                     _gt_from_batch(micro["lab"]), mkeys[1],
                     do_align=do_align, domain_label=1.0,
+                    **lab_pre_kw,
                 )
                 absorb(aux)
                 add(losses, "source_strong", n_ls / n_eff)

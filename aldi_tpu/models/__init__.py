@@ -22,4 +22,10 @@ META_ARCH_REGISTRY.register(DETRDetector, name="DeformableDETR")
 def build_detector(cfg):
     """cfg -> detector orchestrator (the reference's ``build_aldi``)."""
     name = cfg.MODEL.META_ARCHITECTURE
+    if cfg.MODEL.LOAD_PROPOSALS and name != "GeneralizedRCNN":
+        # precomputed proposals are a two-stage (Fast-R-CNN) concept; the
+        # substrate likewise only consumes them through ROI-heads models
+        raise NotImplementedError(
+            f"MODEL.LOAD_PROPOSALS requires GeneralizedRCNN (got {name})"
+        )
     return META_ARCH_REGISTRY.get(name)(cfg)

@@ -387,6 +387,7 @@ class RCNNDetector:
         domain_label: float = 1.0,
         proposals_override: Optional[dict] = None,
         loss_scale_override: Optional[dict] = None,
+        precomputed: Optional[dict] = None,
     ):
         """Full training forward. Returns (losses, aux).
 
@@ -398,10 +399,48 @@ class RCNNDetector:
         ``proposals_override``: a ``sampled`` dict from another model's
         forward (the teacher-on-student-proposals path,
         ``aldi/helpers.py:28-42``); skips RPN proposal generation + sampling.
+
+        ``precomputed``: ``{"boxes" [B,K,4], "valid" [B,K]}`` externally
+        supplied region proposals (``MODEL.LOAD_PROPOSALS`` — the
+        substrate's ``PrecomputedProposals`` generator, inherited by the
+        reference through D2's mapper ``proposal_topk`` hook,
+        ``/root/reference/aldi/dropin.py:202-208``). Fast-R-CNN semantics:
+        the RPN head does not run and contributes no losses.
         """
         k_rpn, k_roi, k_drop = jax.random.split(rng, 3)
         x = self.preprocess(images)
         feats = self.backbone(variables, x, train=True, rng=k_drop)
+
+        losses = {}
+        if precomputed is not None:
+            assert proposals_override is None
+            sampled = sample_proposals(
+                k_roi, precomputed["boxes"], precomputed["valid"],
+                gt.boxes, gt.classes, gt.valid, **self.roi_sample_params,
+            )
+            cls_logits, box_deltas, box_feats = self.box_head(
+                variables, feats, sampled["boxes"], sampled["valid"]
+            )
+            losses.update(
+                fast_rcnn_losses(
+                    cls_logits, box_deltas, sampled, self.num_classes,
+                    self.box_reg_weights,
+                    self.cfg.MODEL.ROI_BOX_HEAD.SMOOTH_L1_BETA,
+                )
+            )
+            if do_align:
+                losses.update(
+                    self._align_losses(
+                        variables, feats, box_feats, domain_label
+                    )
+                )
+            aux = {
+                "sampled": sampled,
+                "roih_cls_logits": cls_logits.astype(jnp.float32),
+                "roih_deltas": box_deltas.astype(jnp.float32),
+            }
+            return losses, aux
+
         logits, deltas = self.rpn_head(variables, feats)
         logits_cat = jnp.concatenate(
             [l.astype(jnp.float32) for l in logits], axis=1
@@ -410,7 +449,6 @@ class RCNNDetector:
             [d.astype(jnp.float32) for d in deltas], axis=1
         )
 
-        losses = {}
         rpn_loss_fn = (
             rpn_losses if self.cfg.TPU.RPN_LOSS_IMPL == "sampled"
             else rpn_losses_dense
@@ -653,15 +691,26 @@ class RCNNDetector:
         return self._align_losses(variables, feats, box_feats, domain_label), None
 
     # ----------------------------------------------------------- inference
-    def forward_inference(self, variables, images, image_sizes):
+    def forward_inference(self, variables, images, image_sizes,
+                          precomputed: Optional[dict] = None):
         """Detection inference on the canvas (no rescaling to original image
         space — the reference pseudo-labeler also runs with
         ``do_postprocess=False``, ``aldi/pseudolabeler.py:21``; the evaluator
-        rescales on host). Returns (boxes, scores, classes, valid)."""
+        rescales on host). Returns (boxes, scores, classes, valid).
+
+        ``precomputed``: ``MODEL.LOAD_PROPOSALS`` boxes (see
+        ``forward_train``); the RPN is skipped, the box head scores the
+        supplied proposals (Fast-R-CNN inference)."""
         x = self.preprocess(images)
         feats = self.backbone(variables, x)
-        logits, deltas = self.rpn_head(variables, feats)
-        pboxes, _, pvalid = self.proposals(logits, deltas, image_sizes, False)
+        if precomputed is not None:
+            pboxes = precomputed["boxes"]
+            pvalid = precomputed["valid"]
+        else:
+            logits, deltas = self.rpn_head(variables, feats)
+            pboxes, _, pvalid = self.proposals(
+                logits, deltas, image_sizes, False
+            )
         cls_logits, box_deltas, _ = self.box_head(
             variables, feats, pboxes, pvalid, pool_mode=self.cfg.TPU.EVAL_POOL_MODE
         )
