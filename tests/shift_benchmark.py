@@ -37,11 +37,11 @@ CLASSES = ["rect", "ring", "cross"]
 # target-domain shift parameters (the "fog model"); module-level so the
 # efficacy report can record them
 SHIFT = {
-    "fog_contrast": (0.40, 0.55),   # arr*c + haze*(1-c), c ~ U(range)
-    "fog_haze": 185.0,              # haze gray level
+    "fog_contrast": (0.20, 0.32),   # arr*c + haze*(1-c), c ~ U(range)
+    "fog_haze": 190.0,              # haze gray level
     "color_cast": (1.10, 0.85, 0.70),  # per-channel gain (warm cast)
-    "blur_radius": (0.8, 1.5),      # Gaussian blur radius ~ U(range)
-    "noise_std": 6.0,               # additive Gaussian sensor noise
+    "blur_radius": (1.2, 2.2),      # Gaussian blur radius ~ U(range)
+    "noise_std": 8.0,               # additive Gaussian sensor noise
 }
 
 
@@ -131,7 +131,7 @@ SPLITS = {
     "shift_src_train": (160, 10, False),
     "shift_src_val": (48, 11, False),
     "shift_tgt_train": (160, 12, True),
-    "shift_tgt_val": (64, 13, True),
+    "shift_tgt_val": (128, 13, True),
 }
 
 

@@ -77,39 +77,50 @@ def _ap50s(results):
     return {ds: round(float(r["bbox/AP50"]), 2) for ds, r in results.items()}
 
 
-def run_seed(tn, seed, out_root):
+def run_seed(tn, seed, out_root, burnin=1200, da_iters=400):
     t0 = time.time()
     res = {}
     base_out = os.path.join(out_root, f"base_s{seed}")
     aldi_out = os.path.join(out_root, f"aldi_s{seed}")
     nodistill_out = os.path.join(out_root, f"nodistill_s{seed}")
-    burnin_ckpt = os.path.join(base_out, "model_0000400")
+    burnin_ckpt = os.path.join(base_out, f"model_{burnin:07d}")
     common = ["SEED", seed]
 
-    # arm A: source-only 800 iters (400-iter ckpt = burn-in init)
-    run_cli(tn, BASE_CFG, common + ["OUTPUT_DIR", base_out])
+    # arm A: source-only burnin+da_iters total (burnin ckpt = DA init).
+    # burn-in length is calibrated to SOURCE saturation (the reference
+    # burns in to convergence before DA, docs/TRAINING.md:11-25), so the
+    # +da_iters source-only continuation is a true equal-compute control
+    run_cli(tn, BASE_CFG, common + [
+        "OUTPUT_DIR", base_out,
+        "SOLVER.MAX_ITER", burnin + da_iters,
+        "SOLVER.STEPS", f"({burnin + da_iters - 100},)",
+        "SOLVER.CHECKPOINT_PERIOD", burnin,
+    ])
     res["source_only"] = _ap50s(run_cli(
         tn, BASE_CFG, common + ["OUTPUT_DIR", base_out],
         eval_only=True, resume=True))
 
-    # burn-in (400 iters) evaluated on its own: the DA starting point
+    # burn-in checkpoint evaluated on its own: the DA starting point
     res["burnin"] = _ap50s(run_cli(
         tn, BASE_CFG,
         common + ["OUTPUT_DIR", os.path.join(out_root, f"evalburn_s{seed}"),
                   "MODEL.WEIGHTS", burnin_ckpt],
         eval_only=True))
 
+    da_opts = ["SOLVER.MAX_ITER", da_iters, "SOLVER.STEPS",
+               f"({da_iters - 1},)", "SOLVER.CHECKPOINT_PERIOD", da_iters]
+
     # arm B: ALDI++ DA from the burn-in checkpoint (EMA handoff)
     run_cli(tn, ALDI_CFG, common + ["OUTPUT_DIR", aldi_out,
-                                    "MODEL.WEIGHTS", burnin_ckpt])
+                                    "MODEL.WEIGHTS", burnin_ckpt] + da_opts)
     res["aldi"] = _ap50s(run_cli(
         tn, ALDI_CFG, common + ["OUTPUT_DIR", aldi_out,
-                                "MODEL.WEIGHTS", burnin_ckpt],
+                                "MODEL.WEIGHTS", burnin_ckpt] + da_opts,
         eval_only=True, resume=True))
 
     # arm C: distillation ablated
     nd = common + ["OUTPUT_DIR", nodistill_out,
-                   "MODEL.WEIGHTS", burnin_ckpt] + NO_DISTILL_OPTS
+                   "MODEL.WEIGHTS", burnin_ckpt] + da_opts + NO_DISTILL_OPTS
     run_cli(tn, ALDI_CFG, nd)
     res["no_distill"] = _ap50s(run_cli(tn, ALDI_CFG, nd, eval_only=True,
                                        resume=True))
@@ -124,6 +135,10 @@ def main():
     p.add_argument("--data-root", default="/tmp/aldi_shift/data")
     p.add_argument("--out-root", default="/tmp/aldi_shift/out")
     p.add_argument("--report", default=os.path.join(REPO, "EFFICACY.json"))
+    # burn-in length calibrated to source saturation on the shift benchmark
+    # (tools/calibrate: tgt AP50 plateaus by ~1200 while src sits ~95+)
+    p.add_argument("--burnin", type=int, default=1200)
+    p.add_argument("--da-iters", type=int, default=400)
     args = p.parse_args()
 
     from tests.shift_benchmark import SHIFT, SPLITS, register_shift_benchmark
@@ -134,7 +149,9 @@ def main():
     seeds = [int(s) for s in args.seeds.split(",")]
     per_seed = {}
     for s in seeds:
-        per_seed[str(s)] = run_seed(tn, s, args.out_root)
+        per_seed[str(s)] = run_seed(tn, s, args.out_root,
+                                    burnin=args.burnin,
+                                    da_iters=args.da_iters)
         print(f"seed {s}: {json.dumps(per_seed[str(s)])}", flush=True)
 
     tgt = "shift_tgt_val"
@@ -145,8 +162,12 @@ def main():
     report = {
         "benchmark": "synthetic shift (fog+blur+color-cast), "
                      "tests/shift_benchmark.py",
-        "protocol": "burn-in 400 -> {source-only +400 | ALDI++ 400 | "
-                    "no-distill 400}; teacher-EMA AP50 on shift_tgt_val",
+        "protocol": (
+            f"burn-in {args.burnin} (source-saturated) -> "
+            f"{{source-only +{args.da_iters} | ALDI++ {args.da_iters} | "
+            f"no-distill {args.da_iters}}}; teacher-EMA AP50 on "
+            f"shift_tgt_val"
+        ),
         "configs": ["configs/synthetic/Base-RCNN-FPN-Shift.yaml",
                     "configs/synthetic/ALDI-Shift.yaml"],
         "shift_params": SHIFT,
