@@ -77,7 +77,59 @@ def _ap50s(results):
     return {ds: round(float(r["bbox/AP50"]), 2) for ds, r in results.items()}
 
 
-def run_seed(tn, seed, out_root, burnin=1200, da_iters=400):
+def calibrate_threshold(burnin_ckpt, seed, out_root):
+    """Pick DOMAIN_ADAPT.TEACHER.THRESHOLD from the burn-in teacher's score
+    distribution on the target split (tools/calibrate_threshold.py).
+
+    The reference's 0.8 default presumes a COCO-pretrained teacher; on the
+    from-scratch synthetic benchmark it passes zero pseudo-labels (STATUS.md
+    round-4 analysis), making the hard pseudo-label stream vacuous.
+    """
+    from aldi_tpu.config import get_cfg
+    from aldi_tpu.engine.trainer import ALDITrainer
+    from tools.calibrate_threshold import calibrate
+
+    cfg = get_cfg()
+    cfg.merge_from_file(BASE_CFG)
+    cfg.merge_from_list(["SEED", seed, "MODEL.WEIGHTS", burnin_ckpt,
+                         "OUTPUT_DIR",
+                         os.path.join(out_root, f"calib_s{seed}")])
+    cfg.freeze()
+    trainer = ALDITrainer(cfg)
+    trainer.resume_or_load(resume=False)
+    report = calibrate(trainer, "shift_tgt_train",
+                       [0.3, 0.4, 0.5, 0.6, 0.7, 0.8])
+    print(f"seed {seed} threshold calibration: {json.dumps(report)}",
+          flush=True)
+    thr = report["recommended_threshold"]
+    if thr is None:
+        raise RuntimeError(
+            f"vacuous DA setup: burn-in teacher produces no usable "
+            f"pseudo-labels at any candidate threshold ({report})"
+        )
+    return thr, report
+
+
+def check_not_vacuous(da_out):
+    """Fail loudly if a DA arm ran with zero pseudo-labels throughout —
+    such a run cannot evidence (or refute) the DAOD machinery."""
+    path = os.path.join(da_out, "metrics.json")
+    counts = []
+    with open(path) as f:
+        for line in f:
+            row = json.loads(line)
+            if "num_pseudo_labels" in row:
+                counts.append(float(row["num_pseudo_labels"]))
+    if not counts or max(counts) <= 0:
+        raise RuntimeError(
+            f"vacuous DA run in {da_out}: num_pseudo_labels never exceeded "
+            f"0 over {len(counts)} logged iterations — calibrate "
+            f"DOMAIN_ADAPT.TEACHER.THRESHOLD (tools/calibrate_threshold.py)"
+        )
+    return sum(counts) / len(counts)
+
+
+def run_seed(tn, seed, out_root, burnin=1200, da_iters=400, threshold=None):
     t0 = time.time()
     res = {}
     base_out = os.path.join(out_root, f"base_s{seed}")
@@ -107,12 +159,21 @@ def run_seed(tn, seed, out_root, burnin=1200, da_iters=400):
                   "MODEL.WEIGHTS", burnin_ckpt],
         eval_only=True))
 
+    # teacher-confidence threshold: calibrated against this seed's burn-in
+    # teacher unless pinned on the command line
+    if threshold is None:
+        threshold, calib = calibrate_threshold(burnin_ckpt, seed, out_root)
+        res["threshold_calibration"] = calib
+    res["threshold"] = threshold
+
     da_opts = ["SOLVER.MAX_ITER", da_iters, "SOLVER.STEPS",
-               f"({da_iters - 1},)", "SOLVER.CHECKPOINT_PERIOD", da_iters]
+               f"({da_iters - 1},)", "SOLVER.CHECKPOINT_PERIOD", da_iters,
+               "DOMAIN_ADAPT.TEACHER.THRESHOLD", threshold]
 
     # arm B: ALDI++ DA from the burn-in checkpoint (EMA handoff)
     run_cli(tn, ALDI_CFG, common + ["OUTPUT_DIR", aldi_out,
                                     "MODEL.WEIGHTS", burnin_ckpt] + da_opts)
+    res["mean_pseudo_labels"] = round(check_not_vacuous(aldi_out), 2)
     res["aldi"] = _ap50s(run_cli(
         tn, ALDI_CFG, common + ["OUTPUT_DIR", aldi_out,
                                 "MODEL.WEIGHTS", burnin_ckpt] + da_opts,
@@ -138,7 +199,10 @@ def main():
     # burn-in length calibrated to source saturation on the shift benchmark
     # (tools/calibrate: tgt AP50 plateaus by ~1200 while src sits ~95+)
     p.add_argument("--burnin", type=int, default=1200)
-    p.add_argument("--da-iters", type=int, default=400)
+    p.add_argument("--da-iters", type=int, default=800)
+    p.add_argument("--threshold", type=float, default=None,
+                   help="pin DOMAIN_ADAPT.TEACHER.THRESHOLD; default "
+                        "calibrates per seed against the burn-in teacher")
     args = p.parse_args()
 
     from tests.shift_benchmark import SHIFT, SPLITS, register_shift_benchmark
@@ -151,7 +215,8 @@ def main():
     for s in seeds:
         per_seed[str(s)] = run_seed(tn, s, args.out_root,
                                     burnin=args.burnin,
-                                    da_iters=args.da_iters)
+                                    da_iters=args.da_iters,
+                                    threshold=args.threshold)
         print(f"seed {s}: {json.dumps(per_seed[str(s)])}", flush=True)
 
     tgt = "shift_tgt_val"
@@ -165,8 +230,9 @@ def main():
         "protocol": (
             f"burn-in {args.burnin} (source-saturated) -> "
             f"{{source-only +{args.da_iters} | ALDI++ {args.da_iters} | "
-            f"no-distill {args.da_iters}}}; teacher-EMA AP50 on "
-            f"shift_tgt_val"
+            f"no-distill {args.da_iters}}}; teacher threshold "
+            f"{'pinned ' + str(args.threshold) if args.threshold is not None else 'calibrated per seed'}; "
+            f"teacher-EMA AP50 on shift_tgt_val"
         ),
         "configs": ["configs/synthetic/Base-RCNN-FPN-Shift.yaml",
                     "configs/synthetic/ALDI-Shift.yaml"],
