@@ -78,6 +78,70 @@ def test_vit_lr_decay_multipliers():
     assert m["rpn_head"]["conv"]["kernel"] == 1.0
 
 
+def test_resnet_fold_bn_equivalence():
+    """fold_bn=True (BN affine folded into conv kernels) must compute the
+    same function as the unfolded path on identical variables, in f32 to
+    tight tolerance, with the same parameter/frozen name trees."""
+    from aldi_tpu.models.resnet import ResNet
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 64, 96, 3)), jnp.float32)
+
+    folded = ResNet(depth=26, freeze_at=0, fold_bn=True)
+    unfolded = ResNet(depth=26, freeze_at=0, fold_bn=False)
+    variables = jax.jit(folded.init)(jax.random.PRNGKey(0), x)
+
+    # randomize the frozen stats so the affine is non-trivial; running_var
+    # must stay positive (rsqrt of a negative variance is NaN on both
+    # paths and proves nothing)
+    def perturb(path, v):
+        leaf = path[-1].key
+        if leaf == "running_var":
+            return jnp.asarray(
+                rng.uniform(0.25, 4.0, v.shape), v.dtype)
+        if leaf in ("running_mean", "weight", "bias"):
+            return jnp.asarray(rng.normal(size=v.shape), v.dtype)
+        return v
+
+    frozen = jax.tree_util.tree_map_with_path(
+        perturb, variables["frozen"])
+    variables = {"params": variables["params"], "frozen": frozen}
+
+    # identical variable trees accepted by both paths
+    assert (jax.tree_util.tree_structure(jax.eval_shape(
+        lambda: unfolded.init(jax.random.PRNGKey(0), x)))
+        == jax.tree_util.tree_structure(jax.eval_shape(
+            lambda: folded.init(jax.random.PRNGKey(0), x))))
+
+    out_f = jax.jit(folded.apply)(variables, x)
+    out_u = jax.jit(unfolded.apply)(variables, x)
+    for k in out_u:
+        np.testing.assert_allclose(
+            np.asarray(out_f[k]), np.asarray(out_u[k]),
+            rtol=2e-4, atol=2e-4, err_msg=k)
+
+    # gradients w.r.t. the conv kernels must agree too (the fold reroutes
+    # the chain rule through W*s)
+    def loss(fold):
+        model = ResNet(depth=26, freeze_at=0, fold_bn=fold)
+
+        def f(params):
+            out = model.apply({"params": params, "frozen": frozen}, x)
+            return sum(jnp.sum(v ** 2) for v in out.values())
+
+        return jax.jit(jax.grad(f))(variables["params"])
+
+    g_f, g_u = loss(True), loss(False)
+    flat_f = jax.tree_util.tree_leaves_with_path(g_f)
+    flat_u = dict(jax.tree_util.tree_leaves_with_path(g_u))
+    for path, leaf in flat_f:
+        ref = flat_u[path]
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(ref),
+            rtol=5e-3, atol=5e-3 * max(1.0, float(jnp.abs(ref).max())),
+            err_msg=jax.tree_util.keystr(path))
+
+
 def test_window_partition_roundtrip():
     from aldi_tpu.models.vit import window_partition, window_unpartition
 
