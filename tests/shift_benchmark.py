@@ -35,13 +35,32 @@ from PIL import Image, ImageFilter
 CLASSES = ["rect", "ring", "cross"]
 
 # target-domain shift parameters (the "fog model"); module-level so the
-# efficacy report can record them
+# efficacy report can record them.
+#
+# Calibration rationale (round-4 pilots, STATUS.md): the shift must sit in
+# the regime where DAOD lives. Two failure modes bracket it:
+#   - too mild (fog_contrast ~0.4+, blur <=1.5, low noise): source-only
+#     training closes the gap itself, because the strong-aug recipe
+#     (data/strong_aug.py: color jitter, grayscale, gaussian blur sigma
+#     <=2.0, random erase) SPANS fog contrast and blur — augmentation
+#     robustness substitutes for adaptation.
+#   - too strong (fog_contrast ~0.2-0.32, blur 1.2-2.2): the burn-in
+#     teacher is blind on target (AP75 ~3, p99 score 0.41), pseudo-labels
+#     vanish at any threshold, and the self-training flywheel never turns.
+# The calibrated shift therefore carries the domain gap primarily in fog
+# contrast OUTSIDE the jitter span (strong-aug contrast blends with weight
+# >= 0.6 toward the mean; fog c ~ 0.30-0.42 toward the haze is beyond it —
+# measured: c in (0.45, 0.60) lets the burn-in model reach ~85 target AP50
+# and keep climbing, c in (0.20, 0.32) blinds the teacher to ~31 with p99
+# score 0.41), composed with in-span blur and mild sensor noise. This
+# mirrors the role of real fog's depth-dependent rendering in
+# Cityscapes->Foggy: a target appearance no source-side aug reproduces.
 SHIFT = {
-    "fog_contrast": (0.20, 0.32),   # arr*c + haze*(1-c), c ~ U(range)
+    "fog_contrast": (0.30, 0.42),   # arr*c + haze*(1-c), c ~ U(range)
     "fog_haze": 190.0,              # haze gray level
     "color_cast": (1.10, 0.85, 0.70),  # per-channel gain (warm cast)
-    "blur_radius": (1.2, 2.2),      # Gaussian blur radius ~ U(range)
-    "noise_std": 8.0,               # additive Gaussian sensor noise
+    "blur_radius": (1.0, 1.8),      # Gaussian blur radius ~ U(range)
+    "noise_std": 12.0,              # additive Gaussian sensor noise
 }
 
 
@@ -129,9 +148,13 @@ def make_shift_split(root, name, n_images, seed, shifted,
 # matters less than tgt_val being disjoint from everything.
 SPLITS = {
     "shift_src_train": (160, 10, False),
-    "shift_src_val": (48, 11, False),
-    "shift_tgt_train": (160, 12, True),
-    "shift_tgt_val": (128, 13, True),
+    "shift_src_val": (64, 11, False),
+    # more unlabeled target data (the DA runs' raw material) and a larger
+    # target val split: at 128 images the AP50 eval noise was ~+-5 between
+    # adjacent evals, swamping few-point DA effects; 320 images (~640
+    # objects) brings it down to ~+-1-2
+    "shift_tgt_train": (256, 12, True),
+    "shift_tgt_val": (320, 13, True),
 }
 
 

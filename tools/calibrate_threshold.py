@@ -84,11 +84,16 @@ def calibrate(trainer, dataset_name, thresholds):
         },
     }
     # recommend: threshold whose pseudo-label density lands closest to the
-    # GT density (without exceeding ~1.5x of it)
+    # GT density. Candidates outside [0.25x, 2x] of the GT density are
+    # rejected outright (starved below — the distill stream samples
+    # proposals against near-empty pseudo-GT; flooded above — the teacher's
+    # noise becomes supervision), so a None recommendation means no usable
+    # operating point exists for this teacher.
     best, best_gap = None, float("inf")
     for t in sorted(thresholds):
         dens = float(np.mean([(r > t).sum() for r in rows])) if rows else 0.0
-        if dens > 1.5 * out["gt_per_image"]:
+        if not (0.25 * out["gt_per_image"] <= dens
+                <= 2.0 * out["gt_per_image"]):
             continue
         gap = abs(dens - out["gt_per_image"])
         if gap < best_gap:
