@@ -123,13 +123,16 @@ def build_cfg(canvas, batch_per_chip, family="rcnn"):
     )
     if "BENCH_DTYPE" in os.environ:  # e.g. bfloat16 for the DETR trunk
         cfg.TPU.COMPUTE_DTYPE = os.environ["BENCH_DTYPE"]
-    if "BENCH_BACKWARD_AT_END" in os.environ:
-        # "0": stream-sequential backward (one stream's activations live at
-        # a time — the reference BACKWARD_AT_END=False memory recipe that
-        # lets ViTDet-B DAOD fit 16 GB at the full 1024x2048 canvas)
-        cfg.SOLVER.BACKWARD_AT_END = (
-            os.environ["BENCH_BACKWARD_AT_END"] != "0"
-        )
+    # stream-sequential backward (one stream's activations live at a time —
+    # the reference BACKWARD_AT_END=False memory recipe). Default ON for the
+    # flagship: its memory headroom is what buys batch 8+8 at 1024x2048
+    # (17.2 img/s/chip vs 12.2 at the joint backward's batch-4 HBM ceiling;
+    # r4 sweep: 6+6 -> 13.8, 8+8 -> 17.2, 10/12 regress on HBM pressure).
+    # ViTDet's 1024x2048 rows opt in via env (tools/bench_all.py).
+    default_bwd = "0" if family == "rcnn" else "1"
+    cfg.SOLVER.BACKWARD_AT_END = (
+        os.environ.get("BENCH_BACKWARD_AT_END", default_bwd) != "0"
+    )
     return cfg
 
 
@@ -487,9 +490,11 @@ def main():
     # the detectron2-ViTDet square recipe resolution (full 1024x2048 ViT-B
     # DAOD does not fit 16 GB at batch 1); DETR at its MIN_SIZE_TRAIN
     # midpoint (reference Base-DETR.yaml:42).
-    # rcnn fits batch 4/chip at 1024x2048 (batch 5 exceeds HBM by ~21 MB);
-    # 4 amortizes the fixed per-step work ~3% better than 2
-    default_bpc = {"rcnn": "4", "vitdet": "1", "convnext": "2",
+    # rcnn fits batch 8/chip at 1024x2048 under the stream-sequential
+    # backward (joint backward capped at 4; batch 5 exceeded HBM by ~21 MB).
+    # r4 sweep at stream-seq: 6+6 13.8, 8+8 17.2, 10+10/12+12 regress
+    # (HBM pressure), so 8 is the knee.
+    default_bpc = {"rcnn": "8", "vitdet": "1", "convnext": "2",
                    "yolo": "2", "detr": "2"}[family]
     bpc = int(os.environ.get("BENCH_BATCH_PER_CHIP", default_bpc))
     canvas = {"vitdet": (1024, 1024), "detr": (640, 640)}.get(
