@@ -21,10 +21,10 @@ Usage (datasets must be registered first, as in tools/efficacy_experiment.py):
     PY
 
 Prints detection-score percentiles and pseudo-labels/image at candidate
-thresholds, next to the true GT density, and recommends the threshold whose
-pseudo-label density is closest to the GT density (precision/recall balance
-point for self-training; a denser choice admits noise, a sparser one starves
-the distill losses).
+thresholds, next to the true GT density, and recommends the DENSITY-MATCHED
+threshold: the exact score quantile at which pseudo-label density equals the
+GT object density (precision/recall balance point for self-training; a
+denser choice admits noise, a sparser one starves the distill losses).
 """
 
 import argparse
@@ -83,22 +83,25 @@ def calibrate(trainer, dataset_name, thresholds):
             for t in thresholds
         },
     }
-    # recommend: threshold whose pseudo-label density lands closest to the
-    # GT density. Candidates outside [0.25x, 2x] of the GT density are
-    # rejected outright (starved below — the distill stream samples
-    # proposals against near-empty pseudo-GT; flooded above — the teacher's
-    # noise becomes supervision), so a None recommendation means no usable
-    # operating point exists for this teacher.
-    best, best_gap = None, float("inf")
-    for t in sorted(thresholds):
-        dens = float(np.mean([(r > t).sum() for r in rows])) if rows else 0.0
-        if not (0.25 * out["gt_per_image"] <= dens
-                <= 2.0 * out["gt_per_image"]):
-            continue
-        gap = abs(dens - out["gt_per_image"])
-        if gap < best_gap:
-            best, best_gap = t, gap
-    out["recommended_threshold"] = best
+    # recommend: the DENSITY-MATCHED threshold — the score quantile at which
+    # pseudo-label density equals the GT object density (AdaMatch-style
+    # distribution matching; a grid of candidate thresholds is too coarse —
+    # measured on the shift benchmark, density falls 3.55 -> 0.43 between
+    # candidates 0.30 and 0.40). Below it the distill stream samples
+    # proposals against near-empty pseudo-GT (starved); above it the
+    # teacher's noise becomes supervision (flooded). None means the teacher
+    # emits too few detections to reach GT density at ANY threshold above
+    # the floor — no usable operating point.
+    floor = 0.05  # scores below this are background noise, never supervise
+    target = out["gt_per_image"] * max(len(rows), 1)
+    usable = np.sort(flat[flat > floor])[::-1]
+    if usable.size >= target and target >= 1:
+        thr = float(usable[int(round(target)) - 1])
+        out["recommended_threshold"] = round(thr, 4)
+        out["density_at_recommended"] = round(
+            float(np.mean([(r > thr).sum() for r in rows])), 2)
+    else:
+        out["recommended_threshold"] = None
     return out
 
 
