@@ -57,6 +57,9 @@ def main():
     platform = jax.devices()[0].platform
     bpc = int(os.environ.get("BENCH_BATCH_PER_CHIP", "2"))
     canvas = (640, 640) if platform != "cpu" else (256, 256)
+    if "BENCH_CANVAS" in os.environ:  # e.g. 800x1344 (protocol scale)
+        canvas = tuple(
+            int(x) for x in os.environ["BENCH_CANVAS"].split("x"))
     cfg = build_cfg(canvas, bpc, family="detr")
     cfg.freeze()
     det = build_detector(cfg)
