@@ -65,6 +65,20 @@ def gt_density(dataset_name):
     return n / max(len(records), 1)
 
 
+def recommend_threshold(rows, gt_per_image, floor=0.05):
+    """Density-matched threshold: the score quantile at which pseudo-label
+    density equals ``gt_per_image`` (AdaMatch-style distribution matching).
+    Returns None when the teacher emits too few detections above ``floor``
+    to reach GT density at any threshold — no usable operating point."""
+    flat = (np.concatenate(rows) if rows and any(len(r) for r in rows)
+            else np.zeros((0,), np.float32))
+    target = gt_per_image * max(len(rows), 1)
+    usable = np.sort(flat[flat > floor])[::-1]
+    if usable.size >= target and target >= 1:
+        return float(usable[int(round(target)) - 1])
+    return None
+
+
 def calibrate(trainer, dataset_name, thresholds):
     rows = collect_scores(trainer, dataset_name)
     flat = (np.concatenate(rows) if rows and any(len(r) for r in rows)
@@ -83,20 +97,13 @@ def calibrate(trainer, dataset_name, thresholds):
             for t in thresholds
         },
     }
-    # recommend: the DENSITY-MATCHED threshold — the score quantile at which
-    # pseudo-label density equals the GT object density (AdaMatch-style
-    # distribution matching; a grid of candidate thresholds is too coarse —
-    # measured on the shift benchmark, density falls 3.55 -> 0.43 between
-    # candidates 0.30 and 0.40). Below it the distill stream samples
-    # proposals against near-empty pseudo-GT (starved); above it the
-    # teacher's noise becomes supervision (flooded). None means the teacher
-    # emits too few detections to reach GT density at ANY threshold above
-    # the floor — no usable operating point.
-    floor = 0.05  # scores below this are background noise, never supervise
-    target = out["gt_per_image"] * max(len(rows), 1)
-    usable = np.sort(flat[flat > floor])[::-1]
-    if usable.size >= target and target >= 1:
-        thr = float(usable[int(round(target)) - 1])
+    # a grid of candidate thresholds is too coarse — measured on the shift
+    # benchmark, density falls 3.55 -> 0.43 between candidates 0.30/0.40
+    # while GT density is 2.04. Below the matched point the distill stream
+    # samples proposals against near-empty pseudo-GT (starved); above it
+    # the teacher's noise becomes supervision (flooded).
+    thr = recommend_threshold(rows, out["gt_per_image"])
+    if thr is not None:
         out["recommended_threshold"] = round(thr, 4)
         out["density_at_recommended"] = round(
             float(np.mean([(r > thr).sum() for r in rows])), 2)

