@@ -37,14 +37,24 @@ def main():
                 k, _, v = kv.partition("=")
                 env[k] = v
         print(f"== {tag} ==", flush=True)
-        p = subprocess.run(
-            [sys.executable, os.path.join(ROOT, "bench.py")],
-            capture_output=True, text=True, env=env, cwd=ROOT, timeout=1500,
-        )
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.join(ROOT, "bench.py")],
+                capture_output=True, text=True, env=env, cwd=ROOT,
+                timeout=1500,
+            )
+        except subprocess.TimeoutExpired as e:
+            merge({"tag": tag, "metric": tag,
+                   "error": f"timeout after {e.timeout}s"})
+            print(f"{tag}: timeout", flush=True)
+            continue
         line = p.stdout.strip().splitlines()[-1] if p.stdout.strip() else ""
         try:
-            row = {"tag": tag, **json.loads(line)}
-        except (json.JSONDecodeError, IndexError):
+            parsed = json.loads(line)
+            if not isinstance(parsed, dict):
+                raise TypeError(f"bench.py emitted non-object JSON: {line!r}")
+            row = {"tag": tag, **parsed}
+        except (json.JSONDecodeError, IndexError, TypeError):
             row = {"tag": tag, "metric": tag, "error": (p.stderr or "")[-2000:]}
         merge(row)
         print(json.dumps(row)[:300], flush=True)
