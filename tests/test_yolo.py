@@ -133,3 +133,32 @@ def test_yolo_daod_train_step():
     assert state.ema_model_state is not None
     state2, _ = step_fn(state, batch, jax.random.PRNGKey(6))
     assert int(state2.step) == 2
+
+
+def test_yolo_sync_bn_full_model_matches_global_batch():
+    """Full-model sync-BN semantics: one sharded YOLO DAOD step over the
+    8-device mesh produces the same batch_stats as the identical global
+    batch on a 1-device mesh (slow tier; the driver dryrun carries the
+    cheap standalone-BatchNorm proof instead, __graft_entry__.py).
+
+    Reference divergence under test: docs/DIVERGENCES.md — the reference
+    keeps rank-local BN buffers (aldi/dropin.py:53 broadcast_buffers=False);
+    under jit with the batch sharded on the data axis, nn.BatchNorm reduces
+    over the GLOBAL batch."""
+    import jax.tree_util as jtu
+
+    import __graft_entry__ as ge
+
+    state_n, metrics_n, _ = ge._run_sharded_step(ge._yolo_cfg(), 8)
+    state_1, metrics_1, _ = ge._run_sharded_step(ge._yolo_cfg(), 1,
+                                                 batch_size=8)
+    bs_n = jax.device_get(state_n.model_state["batch_stats"])
+    bs_1 = jax.device_get(state_1.model_state["batch_stats"])
+    diffs = jtu.tree_map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b))
+                                  / (np.abs(np.asarray(a)) + 1e-3))),
+        bs_n, bs_1,
+    )
+    worst = max(jtu.tree_leaves(diffs))
+    assert worst < 1e-3, f"sync-BN: batch_stats diverged by {worst}"
+    ge._per_loss_close(metrics_1, metrics_n, "yolo-sharded-vs-global")
