@@ -365,7 +365,13 @@ def get_default_cfg() -> CN:
     _C.TPU.RPN_LOSS_IMPL = "sampled"
     # jax.profiler trace output dir; traces iterations [10, 13) when set
     _C.TPU.PROFILE_DIR = ""
-    # Prefetch depth (batches) from host to device
+    # Prefetch depth (batches) of the host pipeline (numpy batch assembly)
     _C.TPU.PREFETCH = 2
+    # Device-transfer pipeline depth: a background thread jax.device_put()s
+    # this many batches ahead so the host->device copy of the uint8
+    # canvases overlaps the previous step's compute instead of serializing
+    # with it (data/loader.py::DevicePrefetcher). 0 disables (the jitted
+    # step then transfers its own arguments synchronously at dispatch).
+    _C.TPU.DEVICE_PREFETCH = 2
 
     return _C

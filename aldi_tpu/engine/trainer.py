@@ -24,7 +24,7 @@ import numpy as np
 
 from .. import data  # noqa: F401  (dataset registrations)
 from ..data import datasets  # noqa: F401
-from ..data.loader import WeakStrongLoader
+from ..data.loader import DevicePrefetcher, WeakStrongLoader
 from ..models import build_detector
 from ..parallel.mesh import make_mesh, shard_batch, shard_state
 from ..utils.events import EventStorage, build_writers, setup_logger
@@ -173,6 +173,19 @@ class ALDITrainer:
         self.logger.info(f"Starting training from iteration {start}")
         self.storage.iter = start
 
+        # device-transfer pipeline: overlap the host->device copy of the
+        # canvases with the previous step's compute (see DevicePrefetcher)
+        if self.mesh is not None:
+            put_fn = lambda b: shard_batch(b, self.mesh)
+        else:
+            put_fn = lambda b: jax.tree_util.tree_map(jax.device_put, b)
+        depth = cfg.TPU.DEVICE_PREFETCH
+        batches = (
+            DevicePrefetcher(self.loader, put_fn, depth) if depth > 0
+            else iter(self.loader)
+        )
+        no_prefetch = depth <= 0
+
         data_t0 = time.time()
         # throughput over the whole write window, not a single synced step:
         # a per-step time around the blocking device_get double-counts the
@@ -180,9 +193,9 @@ class ALDITrainer:
         win_t0, win_iters = time.time(), 0
         evaluated_now, last_results = False, {}
         for it in range(start, max_iter):
-            batch = next(self.loader)
+            batch = next(batches)
             data_time = time.time() - data_t0
-            if self.mesh is not None:
+            if no_prefetch and self.mesh is not None:
                 batch = shard_batch(batch, self.mesh)
             if cfg.TPU.PROFILE_DIR:  # trace a 3-iter window post-warmup
                 if it == start + 10:
@@ -236,6 +249,11 @@ class ALDITrainer:
                 win_t0, win_iters = time.time(), 0  # exclude ckpt time
             data_t0 = time.time()
 
+        if not no_prefetch:
+            # stop the transfer thread before the trailing eval so it does
+            # not keep staging batches; on abnormal exit the daemon thread
+            # parks after `depth` queued batches and dies with the process
+            batches.close()
         if cfg.TEST.EVAL_PERIOD:
             # don't re-run the full inference pass when the loop's last
             # iteration already evaluated (MAX_ITER % EVAL_PERIOD == 0)
