@@ -224,13 +224,40 @@ def main():
                                     da_iters=args.da_iters,
                                     threshold=args.threshold)
         print(f"seed {s}: {json.dumps(per_seed[str(s)])}", flush=True)
+        # crash-safe: the report is rewritten after every completed seed
+        report = build_report(args, per_seed, [t for t in seeds
+                                               if str(t) in per_seed],
+                              SHIFT, SPLITS)
+        with open(args.report, "w") as f:
+            json.dump(report, f, indent=1)
 
+    print(json.dumps({k: report[k] for k in (
+        "target_ap50_gain_aldi_vs_source_only",
+        "target_ap50_gain_no_distill",
+        "target_ap50_gain_aldi_vs_no_distill",
+        "mean_gain_aldi", "mean_gain_no_distill",
+        "mean_gain_aldi_vs_no_distill",
+        "seeds_where_distill_beats_ablation",
+        "source_only_drift_from_burnin")}, indent=1))
+    print(f"wrote {args.report}")
+
+
+def build_report(args, per_seed, seeds, SHIFT, SPLITS):
     tgt = "shift_tgt_val"
-    gains = [per_seed[str(s)]["aldi"][tgt]
-             - per_seed[str(s)]["source_only"][tgt] for s in seeds]
-    nd_gains = [per_seed[str(s)]["no_distill"][tgt]
-                - per_seed[str(s)]["source_only"][tgt] for s in seeds]
-    report = {
+
+    def col(arm):
+        return [per_seed[str(s)][arm][tgt] for s in seeds]
+
+    gains = [a - b for a, b in zip(col("aldi"), col("source_only"))]
+    nd_gains = [a - b for a, b in zip(col("no_distill"), col("source_only"))]
+    # the distillation-attributable delta: ALDI++ vs the equal-compute
+    # no-distill DA control, per seed (VERDICT r4: the honest ablation —
+    # the source-only control degrades from its own burn-in, so gains
+    # measured against it conflate "DA helped" with "the control got worse")
+    distill_delta = [a - b for a, b in zip(col("aldi"), col("no_distill"))]
+    drift = [a - b for a, b in zip(col("source_only"), col("burnin"))]
+    mean = lambda xs: round(sum(xs) / len(xs), 2)
+    return {
         "benchmark": "synthetic shift (fog+blur+color-cast), "
                      "tests/shift_benchmark.py",
         "protocol": (
@@ -248,16 +275,17 @@ def main():
         "per_seed": per_seed,
         "target_ap50_gain_aldi_vs_source_only": [round(g, 2) for g in gains],
         "target_ap50_gain_no_distill": [round(g, 2) for g in nd_gains],
-        "mean_gain_aldi": round(sum(gains) / len(gains), 2),
-        "mean_gain_no_distill": round(sum(nd_gains) / len(nd_gains), 2),
+        "target_ap50_gain_aldi_vs_no_distill": [round(g, 2)
+                                                for g in distill_delta],
+        "mean_gain_aldi": mean(gains),
+        "mean_gain_no_distill": mean(nd_gains),
+        "mean_gain_aldi_vs_no_distill": mean(distill_delta),
+        "seeds_where_distill_beats_ablation":
+            f"{sum(d > 0 for d in distill_delta)}/{len(distill_delta)}",
+        # continued source-only training drifts off its own burn-in on the
+        # target split; reported so the headline gain can be read honestly
+        "source_only_drift_from_burnin": [round(d, 2) for d in drift],
     }
-    with open(args.report, "w") as f:
-        json.dump(report, f, indent=1)
-    print(json.dumps({k: report[k] for k in (
-        "target_ap50_gain_aldi_vs_source_only",
-        "target_ap50_gain_no_distill",
-        "mean_gain_aldi", "mean_gain_no_distill")}, indent=1))
-    print(f"wrote {args.report}")
 
 
 def _backend():
