@@ -165,10 +165,12 @@ class ALDITrainer:
                 cfg, self.detector.canvas, seed=int(cfg.SEED if cfg.SEED >= 0 else 42)
             )
         start = int(jax.device_get(self.state.step))
-        if start:
-            # exact-resume determinism: continue the deterministic
-            # (seed, batch_index) sampler stream where the saved run stopped
-            self.loader.seek(start)
+        # exact-resume determinism: continue the deterministic
+        # (seed, batch_index) sampler stream where the saved run stopped.
+        # Unconditional: the device prefetcher below pulls ahead of the
+        # consumed position, so a second train() on the same trainer must
+        # rewind past any prefetched-but-unconsumed batches too.
+        self.loader.seek(start)
         max_iter = cfg.SOLVER.MAX_ITER
         self.logger.info(f"Starting training from iteration {start}")
         self.storage.iter = start
