@@ -101,3 +101,49 @@ def test_loader_seek_resumes_exact_stream(cfg):
                 np.testing.assert_array_equal(
                     ba[stream][k], bb[stream][k], err_msg=f"{stream}/{k}"
                 )
+
+
+def test_device_prefetcher_orders_and_propagates():
+    """DevicePrefetcher must deliver put_fn(batch) in loader order, surface
+    worker exceptions in the consumer, and join its thread on close()."""
+    import itertools
+
+    from aldi_tpu.data.loader import DevicePrefetcher
+
+    src = iter(range(100))
+    pf = DevicePrefetcher(src, lambda x: x * 10, depth=3)
+    got = [next(pf) for _ in range(20)]
+    assert got == [i * 10 for i in range(20)]
+    pf.close()
+    assert not pf._thread.is_alive()
+
+    class Boom(RuntimeError):
+        pass
+
+    def bad_put(x):
+        if x == 2:
+            raise Boom("transfer failed")
+        return x
+
+    pf = DevicePrefetcher(iter(itertools.count()), bad_put, depth=2)
+    assert next(pf) == 0
+    assert next(pf) == 1
+    try:
+        next(pf)
+    except Boom:
+        pass
+    else:
+        raise AssertionError("worker exception was not propagated")
+    pf.close()
+
+
+def test_device_prefetcher_close_unblocks_full_queue():
+    """close() must not deadlock when the worker is parked on a full queue."""
+    import time
+
+    from aldi_tpu.data.loader import DevicePrefetcher
+
+    pf = DevicePrefetcher(iter(range(1000)), lambda x: x, depth=1)
+    time.sleep(0.2)  # let the worker fill the queue and block
+    pf.close()
+    assert not pf._thread.is_alive()
