@@ -75,11 +75,9 @@ def test_distill_ablation_shrinks_gain(report):
     """Ablating distillation shrinks the mean target-AP50 gain.
 
     Asserted on the seed mean, not per seed: on this 160-source-image
-    benchmark single-seed AP50 moves by a few points run to run (the
-    committed artifact's seed 0 has the two DA arms within 0.7 AP50 of
-    each other while seed 1 separates by 4.8), so the attributable-to-
-    distillation claim is a mean-level statement — mirroring how the
-    reference reports its own ablations as table means
+    benchmark single-seed AP50 moves by a few points run to run, so the
+    attributable-to-distillation claim is a mean-level statement —
+    mirroring how the reference reports its own ablations as table means
     (``/root/reference/README.md:185-189``).
     """
     _require_calibrated(report)
@@ -98,6 +96,48 @@ def test_distill_ablation_shrinks_gain(report):
     )
     assert worse_or_equal * 2 >= len(report["per_seed"]), (
         "no-distill beat ALDI on a majority of seeds"
+    )
+
+
+# distillation must be worth a clear margin over the equal-compute
+# no-distill DA control at the mean (VERDICT r4 directive #2: aldi vs
+# no_distill is the honest attribution — the source-only control degrades
+# from its own burn-in, so gains against it conflate two effects)
+MIN_DISTILL_DELTA = 2.0
+
+
+def test_distill_delta_direct(report):
+    """ALDI++ beats the equal-compute no-distill DA control directly:
+    mean(aldi - no_distill) >= MIN_DISTILL_DELTA AP50 and the ordering
+    holds on a strict majority of seeds (>= 3/4 at 4 seeds)."""
+    _require_calibrated(report)
+    deltas = report.get("target_ap50_gain_aldi_vs_no_distill")
+    if deltas is None:
+        pytest.skip("EFFICACY.json predates the direct distill-delta report")
+    if len(deltas) < 3:
+        pytest.skip(
+            f"only {len(deltas)} seeds in the artifact; the per-seed "
+            f"ordering claim needs >= 3 (rerun in progress)"
+        )
+    mean_delta = report["mean_gain_aldi_vs_no_distill"]
+    assert mean_delta >= MIN_DISTILL_DELTA, (
+        f"mean distill-attributable delta {mean_delta} < "
+        f"{MIN_DISTILL_DELTA} AP50: {deltas}"
+    )
+    positive = sum(d > 0 for d in deltas)
+    assert positive * 4 >= len(deltas) * 3, (
+        f"distill beat the ablation on only {positive}/{len(deltas)} seeds"
+    )
+
+
+def test_source_only_drift_is_reported(report):
+    """The artifact must disclose the source-only control's drift from its
+    own burn-in so the vs-source-only headline reads honestly."""
+    _require_calibrated(report)
+    if "source_only_drift_from_burnin" not in report:
+        pytest.skip("EFFICACY.json predates drift reporting")
+    assert len(report["source_only_drift_from_burnin"]) == len(
+        report["per_seed"]
     )
 
 
