@@ -123,6 +123,12 @@ def build_cfg(canvas, batch_per_chip, family="rcnn"):
     )
     if "BENCH_DTYPE" in os.environ:  # e.g. bfloat16 for the DETR trunk
         cfg.TPU.COMPUTE_DTYPE = os.environ["BENCH_DTYPE"]
+    if "BENCH_DETR_REMAT" in os.environ:  # encoder-layer remat A/B: at
+        # protocol scale (800x1344, Lq=22323) the residuals + quad tables
+        # may not fit HBM without rematerialization
+        cfg.MODEL.DEFORMABLE_DETR.USE_ACT_CHECKPOINT = (
+            os.environ["BENCH_DETR_REMAT"] != "0"
+        )
     # stream-sequential backward (one stream's activations live at a time —
     # the reference BACKWARD_AT_END=False memory recipe). Default ON for the
     # flagship: its memory headroom is what buys batch 8+8 at 1024x2048
