@@ -153,8 +153,18 @@ def main():
         ),
     }
     print(json.dumps(result))
-    with open(os.path.join(ROOT, "DETR_PROFILE.json"), "w") as f:
-        json.dump(result, f, indent=1)
+    # merge by canvas so the 640x640 and protocol-scale (800x1344)
+    # decompositions live side by side in the committed artifact
+    path = os.path.join(ROOT, "DETR_PROFILE.json")
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            old = json.load(f)
+        # legacy format: a single flat profile (640x640)
+        merged = old if "by_canvas" in old else {"by_canvas": {"640x640": old}}
+    merged.setdefault("by_canvas", {})[f"{h}x{w}"] = result
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1)
 
 
 if __name__ == "__main__":
