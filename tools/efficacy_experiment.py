@@ -32,7 +32,9 @@ import argparse
 import importlib.util
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
@@ -71,6 +73,65 @@ def run_cli(tn, config_file, opts, eval_only=False, resume=False):
     argv += [str(o) for o in opts]
     args = tn.default_argument_parser().parse_args(argv)
     return tn.main(args)
+
+
+def run_leg(data_root, config_file, opts, eval_only=False, resume=False):
+    """One CLI invocation in a SUBPROCESS.
+
+    Every leg used to run in this process; host memory (trainer state,
+    jitted programs, PJRT buffers) accumulates ~30-40 GB per seed and never
+    returns, and the 4-seed run was OOM-killed by the kernel mid seed 1
+    (anon-rss 118 GB). Per-leg subprocesses bound peak RSS to one leg; the
+    persistent compile cache keeps re-warm costs to seconds."""
+    spec = {"kind": "cli", "config": config_file,
+            "opts": [str(o) for o in opts],
+            "eval_only": eval_only, "resume": resume}
+    return _spawn_leg(data_root, spec)
+
+
+def _spawn_leg(data_root, spec):
+    fd, out_path = tempfile.mkstemp(prefix="aldi_leg_", suffix=".json")
+    os.close(fd)
+    try:
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--leg", json.dumps(spec), "--leg-out", out_path,
+             "--data-root", data_root],
+            check=True,
+        )
+        with open(out_path) as f:
+            return json.load(f)
+    finally:
+        os.unlink(out_path)
+
+
+def _leg_main(args):
+    """Child-process entry: register the benchmark, run one leg, dump JSON."""
+    from tests.shift_benchmark import register_shift_benchmark
+
+    register_shift_benchmark(args.data_root)
+    spec = json.loads(args.leg)
+    if spec["kind"] == "cli":
+        tn = _train_net()
+        results = run_cli(tn, spec["config"], spec["opts"],
+                          eval_only=spec["eval_only"], resume=spec["resume"])
+        out = {
+            "results": {
+                ds: {k: float(v) for k, v in r.items()}
+                for ds, r in (results or {}).items()
+            },
+        }
+    elif spec["kind"] == "calib":
+        thr, report = calibrate_threshold(
+            spec["burnin_ckpt"], spec["seed"], spec["out_root"])
+        out = {"threshold": thr, "report": report}
+    else:
+        raise ValueError(f"unknown leg kind {spec['kind']}")
+    import jax
+
+    out["backend"] = jax.default_backend()
+    with open(args.leg_out, "w") as f:
+        json.dump(out, f)
 
 
 def _ap50s(results):
@@ -129,7 +190,8 @@ def check_not_vacuous(da_out):
     return sum(counts) / len(counts)
 
 
-def run_seed(tn, seed, out_root, burnin=1200, da_iters=400, threshold=None):
+def run_seed(data_root, seed, out_root, burnin=1200, da_iters=400,
+             threshold=None):
     t0 = time.time()
     res = {}
     base_out = os.path.join(out_root, f"base_s{seed}")
@@ -138,31 +200,38 @@ def run_seed(tn, seed, out_root, burnin=1200, da_iters=400, threshold=None):
     burnin_ckpt = os.path.join(base_out, f"model_{burnin:07d}")
     common = ["SEED", seed]
 
+    def leg(config, opts, **kw):
+        return run_leg(data_root, config, opts, **kw)
+
     # arm A: source-only burnin+da_iters total (burnin ckpt = DA init).
     # burn-in length is calibrated to SOURCE saturation (the reference
     # burns in to convergence before DA, docs/TRAINING.md:11-25), so the
     # +da_iters source-only continuation is a true equal-compute control
-    run_cli(tn, BASE_CFG, common + [
+    leg(BASE_CFG, common + [
         "OUTPUT_DIR", base_out,
         "SOLVER.MAX_ITER", burnin + da_iters,
         "SOLVER.STEPS", f"({burnin + da_iters - 100},)",
         "SOLVER.CHECKPOINT_PERIOD", burnin,
     ])
-    res["source_only"] = _ap50s(run_cli(
-        tn, BASE_CFG, common + ["OUTPUT_DIR", base_out],
-        eval_only=True, resume=True))
+    res["source_only"] = _ap50s(leg(
+        BASE_CFG, common + ["OUTPUT_DIR", base_out],
+        eval_only=True, resume=True)["results"])
 
     # burn-in checkpoint evaluated on its own: the DA starting point
-    res["burnin"] = _ap50s(run_cli(
-        tn, BASE_CFG,
+    res["burnin"] = _ap50s(leg(
+        BASE_CFG,
         common + ["OUTPUT_DIR", os.path.join(out_root, f"evalburn_s{seed}"),
                   "MODEL.WEIGHTS", burnin_ckpt],
-        eval_only=True))
+        eval_only=True)["results"])
 
     # teacher-confidence threshold: calibrated against this seed's burn-in
     # teacher unless pinned on the command line
     if threshold is None:
-        threshold, calib = calibrate_threshold(burnin_ckpt, seed, out_root)
+        calib_leg = _spawn_leg(data_root, {
+            "kind": "calib", "burnin_ckpt": burnin_ckpt, "seed": seed,
+            "out_root": out_root,
+        })
+        threshold, calib = calib_leg["threshold"], calib_leg["report"]
         res["threshold_calibration"] = calib
     res["threshold"] = threshold
 
@@ -171,20 +240,20 @@ def run_seed(tn, seed, out_root, burnin=1200, da_iters=400, threshold=None):
                "DOMAIN_ADAPT.TEACHER.THRESHOLD", threshold]
 
     # arm B: ALDI++ DA from the burn-in checkpoint (EMA handoff)
-    run_cli(tn, ALDI_CFG, common + ["OUTPUT_DIR", aldi_out,
-                                    "MODEL.WEIGHTS", burnin_ckpt] + da_opts)
+    leg(ALDI_CFG, common + ["OUTPUT_DIR", aldi_out,
+                            "MODEL.WEIGHTS", burnin_ckpt] + da_opts)
     res["mean_pseudo_labels"] = round(check_not_vacuous(aldi_out), 2)
-    res["aldi"] = _ap50s(run_cli(
-        tn, ALDI_CFG, common + ["OUTPUT_DIR", aldi_out,
-                                "MODEL.WEIGHTS", burnin_ckpt] + da_opts,
-        eval_only=True, resume=True))
+    res["aldi"] = _ap50s(leg(
+        ALDI_CFG, common + ["OUTPUT_DIR", aldi_out,
+                            "MODEL.WEIGHTS", burnin_ckpt] + da_opts,
+        eval_only=True, resume=True)["results"])
 
     # arm C: distillation ablated
     nd = common + ["OUTPUT_DIR", nodistill_out,
                    "MODEL.WEIGHTS", burnin_ckpt] + da_opts + NO_DISTILL_OPTS
-    run_cli(tn, ALDI_CFG, nd)
-    res["no_distill"] = _ap50s(run_cli(tn, ALDI_CFG, nd, eval_only=True,
-                                       resume=True))
+    leg(ALDI_CFG, nd)
+    res["no_distill"] = _ap50s(leg(ALDI_CFG, nd, eval_only=True,
+                                   resume=True)["results"])
 
     res["wall_s"] = round(time.time() - t0, 1)
     return res
@@ -209,21 +278,42 @@ def main():
     p.add_argument("--threshold", type=float, default=None,
                    help="pin DOMAIN_ADAPT.TEACHER.THRESHOLD; default "
                         "calibrates per seed against the burn-in teacher")
+    p.add_argument("--resume-report", default=None,
+                   help="existing (partial) report JSON; its completed "
+                        "seeds are kept and only missing seeds run")
+    p.add_argument("--leg", default=None, help=argparse.SUPPRESS)
+    p.add_argument("--leg-out", default=None, help=argparse.SUPPRESS)
     args = p.parse_args()
 
+    if args.leg is not None:  # child-process mode: run one leg and exit
+        _leg_main(args)
+        return
+
+    # the shift benchmark JPEGs must exist before the legs run (each leg
+    # re-registers against the same root, regenerating nothing)
     from tests.shift_benchmark import SHIFT, SPLITS, register_shift_benchmark
 
     register_shift_benchmark(args.data_root)
-    tn = _train_net()
 
     seeds = [int(s) for s in args.seeds.split(",")]
     per_seed = {}
+    if args.resume_report and os.path.exists(args.resume_report):
+        with open(args.resume_report) as f:
+            prior = json.load(f)
+        per_seed = {k: v for k, v in prior.get("per_seed", {}).items()
+                    if int(k) in seeds}
+        if per_seed:
+            print(f"resuming: keeping completed seeds "
+                  f"{sorted(per_seed)} from {args.resume_report}",
+                  flush=True)
+    report = None
     for s in seeds:
-        per_seed[str(s)] = run_seed(tn, s, args.out_root,
-                                    burnin=args.burnin,
-                                    da_iters=args.da_iters,
-                                    threshold=args.threshold)
-        print(f"seed {s}: {json.dumps(per_seed[str(s)])}", flush=True)
+        if str(s) not in per_seed:
+            per_seed[str(s)] = run_seed(args.data_root, s, args.out_root,
+                                        burnin=args.burnin,
+                                        da_iters=args.da_iters,
+                                        threshold=args.threshold)
+            print(f"seed {s}: {json.dumps(per_seed[str(s)])}", flush=True)
         # crash-safe: the report is rewritten after every completed seed
         report = build_report(args, per_seed, [t for t in seeds
                                                if str(t) in per_seed],
