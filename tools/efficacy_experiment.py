@@ -107,6 +107,14 @@ def _spawn_leg(data_root, spec):
 
 def _leg_main(args):
     """Child-process entry: register the benchmark, run one leg, dump JSON."""
+    if os.environ.get("ALDI_EFFICACY_PLATFORM"):
+        # platform pin for CPU smoke tests of the driver plumbing. The env
+        # var alone is NOT enough on machines whose site hook preloads jax
+        # and forces its own platform list (see tests/conftest.py).
+        import jax
+
+        jax.config.update("jax_platforms",
+                          os.environ["ALDI_EFFICACY_PLATFORM"])
     from tests.shift_benchmark import register_shift_benchmark
 
     register_shift_benchmark(args.data_root)
