@@ -208,8 +208,13 @@ class ALDITrainer:
                         f"profiler trace written to {cfg.TPU.PROFILE_DIR}"
                     )
 
+            t_disp = time.time()
             step_key = jax.random.fold_in(self.train_key, it)
             self.state, metrics = self.step_fn(self.state, batch, step_key)
+            # time spent in the (nominally async) dispatch: on a remote
+            # backend this surfaces tunnel flow-control backpressure and
+            # per-op RPC latency that data_time alone cannot explain
+            dispatch_time = time.time() - t_disp
             win_iters += 1
 
             if cfg.VIS_PERIOD and (it + 1) % cfg.VIS_PERIOD == 0:
@@ -225,6 +230,7 @@ class ALDITrainer:
                     cfg.SOLVER.IMS_PER_BATCH * win_iters / max(elapsed, 1e-9)
                 )
                 host_metrics["data_time"] = data_time
+                host_metrics["dispatch_time"] = dispatch_time
                 self.storage.put_scalars(**host_metrics)
                 for w in self.writers:
                     w.write(self.storage)

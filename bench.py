@@ -445,12 +445,13 @@ def bench_trainer():
     trainer.train()
 
     # the trainer's JSONWriter wrote one line per 20-iter window
-    data_times, img_rates = [], []
+    data_times, disp_times, img_rates = [], [], []
     with open(os.path.join(cfg.OUTPUT_DIR, "metrics.json")) as f:
         for line in f:
             row = json.loads(line)
             if row.get("iteration", 0) > 1:  # skip the compile window
                 data_times.append(row.get("data_time", 0.0))
+                disp_times.append(row.get("dispatch_time", 0.0))
                 img_rates.append(row.get("images_per_sec", 0.0))
     assert img_rates, "trainer wrote no steady-state metric windows"
     print(json.dumps({
@@ -458,7 +459,8 @@ def bench_trainer():
             f"trainer-loop images/sec/chip (R50-FPN DAOD "
             f"{canvas[0]}x{canvas[1]}, batch {bpc}+{bpc}, real JPEG "
             f"loader, {cfg.TPU.DATA_THREADS} decode threads, {platform}; "
-            f"median data_time {np.median(data_times) * 1000:.0f} ms)"
+            f"median data_time {np.median(data_times) * 1000:.0f} ms, "
+            f"dispatch {np.median(disp_times) * 1000:.0f} ms)"
         ),
         "value": round(float(np.median(img_rates)), 3),
         "unit": "img/s/chip",
