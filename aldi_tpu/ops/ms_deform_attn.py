@@ -44,6 +44,18 @@ import jax.numpy as jnp
 # 256 measured fastest; small chunks keep the [Cq, 4D] temporaries
 # resident in VMEM across the remat recompute.
 QUERY_CHUNK = 256
+# At protocol scale the tradeoff flips: more chunks = more lax.map steps
+# whose per-step scheduling overhead dominates once the per-chunk gather is
+# HBM-bound anyway. v5e sweep at 800x1344 encoder shapes (B=2 Lq=22323),
+# fwd+grad per layer: 236 ms at QC=256, 278 at 512, **205 at 1024**, 212
+# at 2048 (tools/profile_msda_roofline.py, MSDA_ROOFLINE.json) — 13%
+# faster at 1024. Threshold at ~1.5x the 640^2 query count.
+QUERY_CHUNK_LARGE = 1024
+LARGE_LQ = 12000
+
+
+def _query_chunk(lq: int) -> int:
+    return QUERY_CHUNK_LARGE if lq > LARGE_LQ else QUERY_CHUNK
 
 
 def ms_deform_attn_core(
@@ -130,22 +142,23 @@ def ms_deform_attn_core(
 
         loc_l = sampling_locations[:, :, :, lvl]  # [B, Lq, H, P, 2]
         w_l = attention_weights[:, :, :, lvl]  # [B, Lq, H, P]
-        if lq <= QUERY_CHUNK:
+        qc = _query_chunk(lq)
+        if lq <= qc:
             out = out + sample_block((loc_l, w_l))
         else:
-            nch = -(-lq // QUERY_CHUNK)
-            pad = nch * QUERY_CHUNK - lq
+            nch = -(-lq // qc)
+            pad = nch * qc - lq
             locp = jnp.pad(loc_l, ((0, 0), (0, pad)) + ((0, 0),) * 3)
             wp = jnp.pad(w_l, ((0, 0), (0, pad)) + ((0, 0),) * 2)
             # chunk axis leads so lax.map scans over it
-            locp = locp.reshape(b, nch, QUERY_CHUNK, h, npoints, 2)
-            wp = wp.reshape(b, nch, QUERY_CHUNK, h, npoints)
+            locp = locp.reshape(b, nch, qc, h, npoints, 2)
+            wp = wp.reshape(b, nch, qc, h, npoints)
             part = jax.lax.map(
                 sample_block,
                 (locp.transpose(1, 0, 2, 3, 4, 5),
                  wp.transpose(1, 0, 2, 3, 4)),
             )  # [nch, B, Cq, H, D]
             part = part.transpose(1, 0, 2, 3, 4).reshape(
-                b, nch * QUERY_CHUNK, h, d)
+                b, nch * qc, h, d)
             out = out + part[:, :lq]
     return out.reshape(b, lq, h * d)

@@ -107,7 +107,8 @@ def main():
         return out.astype(jnp.float32).sum()
 
     sweep = {}
-    default_qc = m.QUERY_CHUNK
+    default_qc, default_large = m.QUERY_CHUNK, m.LARGE_LQ
+    m.LARGE_LQ = 1 << 40  # sweep drives the chunk via QUERY_CHUNK directly
     for qc in (256, 512, 1024, 2048):
         m.QUERY_CHUNK = qc
         f_fwd = jax.jit(lambda c, v: fwd_loss(v, loc + c * 0))
@@ -119,7 +120,7 @@ def main():
                           "fwd_bwd_ms": round(t_f + t_g, 2)}
         print(f"QUERY_CHUNK={qc}: fwd {t_f:.1f} ms, grad {t_g:.1f} ms",
               flush=True)
-    m.QUERY_CHUNK = default_qc
+    m.QUERY_CHUNK, m.LARGE_LQ = default_qc, default_large
     result["query_chunk_sweep"] = sweep
 
     best = min(sweep.values(), key=lambda r: r["fwd_bwd_ms"])
